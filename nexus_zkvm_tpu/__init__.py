@@ -1,0 +1,19 @@
+"""nexus_zkvm_tpu — a TPU-native Circle-STARK zkVM proving framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the
+nexus-zkvm reference (RISC-V RV32IM zkVM proven with a Circle STARK over
+the Mersenne-31 field, Blake2s Merkle commitments, LogUp lookups, FRI):
+
+- ``ops``      — compute kernels: M31/QM31 field arithmetic, circle FFT,
+                 Blake2s hashing, Merkle forests, LogUp, FRI folds.
+- ``models``   — AIR "machines": constraint framework, chips, prove/verify.
+- ``vm``       — host-side RV32IM emulator, decoder/encoder, trace generation.
+- ``parallel`` — device mesh / sharding layer (pjit + shard_map over ICI).
+- ``sdk``      — the user-facing host API (compile/prove/verify).
+
+The package is layed out to mirror the reference's layer map
+(SURVEY.md §1) while being idiomatic JAX: everything on the device side is
+traced, statically shaped, and vectorized over trace rows.
+"""
+
+__version__ = "0.1.0"

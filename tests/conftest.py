@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real-TPU runs are done by bench.py / the driver; unit tests must be
+hermetic and exercise the multi-chip sharding paths, so we force the CPU
+platform with 8 virtual devices BEFORE jax initializes.
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402  (must come after the env setup above)
+
+# The environment pre-seeds jax_platforms="axon,cpu" (TPU-tunnel plugin) at
+# the config level, which overrides JAX_PLATFORMS — force pure CPU here.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: re-runs of the suite skip recompiling
+# the hundreds of tiny eager/jit executables the field kernels generate.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
