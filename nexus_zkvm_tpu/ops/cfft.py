@@ -1,0 +1,164 @@
+"""Circle FFT / inverse FFT / low-degree extension as JAX kernels.
+
+The TPU replacement for stwo's ``PolyOps`` (circle FFT, iFFT, LDE with
+blowup; reference usage `/root/reference/prover/src/machine.rs:186-194`
+and every tree-builder `extend_evals` call).
+
+Basis and layout
+----------------
+The FFT space of a size-N = 2^n domain (see `circle.py` for the domain
+layout) has basis b_j = y^(j0) · x^(j1) · pi(x)^(j2) ... pi^(n-2)(x)^(j_(n-1))
+with j = sum j_k 2^k and pi(x) = 2x^2 - 1. ``interpolate`` returns
+coefficients in **bit-reversed j order** (position = rev_n(j)); this is
+the natural output of the fold-in-half butterflies and is what
+``evaluate`` consumes. Extending to a larger basis is then a pure
+zero-interleave (`extend_coeffs`), because rev_m(j) = rev_n(j) << (m-n)
+for coefficients whose high bits are zero.
+
+Stage structure: interpolation stage j (j = 1..n) views the array as
+(chunks=2^(j-1), 2, half=N/2^j) and computes
+    f0 = a + b ;  f1 = (a - b) * inv_twiddle_j
+(y-twiddles at stage 1, pi-iterated x-twiddles after), deferring the
+global 1/N. Evaluation runs the stages in reverse with un-inverted
+twiddles. Every stage is one reshape + O(N) VPU multiply-adds; there are
+no gathers and no device-side bit-reversals.
+
+Batching: all transforms broadcast over leading dims — the whole
+column set (hundreds of trace columns) is transformed as one (C, N)
+array. QM31 columns are handled as 4 M31 columns (the FFT is
+M31-linear), so only base-field transforms exist.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .field import P, m31_add, m31_sub, m31_mul
+from .circle import domain
+
+__all__ = ["interpolate", "evaluate", "extend_coeffs", "lde",
+           "coeff_index_to_pos", "eval_basis_naive"]
+
+
+def _stage_split(v, j: int, n: int):
+    half = 1 << (n - j)
+    return v.reshape(v.shape[:-1] + (1 << (j - 1), 2, half))
+
+
+def interpolate(evals, include_scale: bool = True):
+    """Evaluations on domain(log N) -> bit-reversed FFT coefficients.
+
+    evals: (..., N) uint32 M31. Returns same shape.
+    """
+    evals = jnp.asarray(evals, jnp.uint32)
+    n_size = evals.shape[-1]
+    n = int(n_size).bit_length() - 1
+    assert 1 << n == n_size
+    dom = domain(n)
+
+    v = evals
+    # Stage 1: y-fold.
+    s = _stage_split(v, 1, n)
+    a, b = s[..., 0, :], s[..., 1, :]
+    t = jnp.asarray(dom.inv_y_twiddles)
+    f0 = m31_add(a, b)
+    f1 = m31_mul(m31_sub(a, b), t)
+    v = jnp.concatenate([f0, f1], axis=-1).reshape(evals.shape)
+    # Stages 2..n: x-folds.
+    for j in range(2, n + 1):
+        s = _stage_split(v, j, n)
+        a, b = s[..., 0, :], s[..., 1, :]
+        t = jnp.asarray(dom.inv_x_twiddle_stages[j - 2])
+        f0 = m31_add(a, b)
+        f1 = m31_mul(m31_sub(a, b), t)
+        v = jnp.stack([f0, f1], axis=-2).reshape(evals.shape)
+    if include_scale:
+        inv_n = pow(1 << n, P - 2, P)
+        v = m31_mul(v, jnp.uint32(inv_n))
+    return v
+
+
+def evaluate(coeffs, log_size: int | None = None):
+    """Bit-reversed FFT coefficients -> evaluations on domain(log_size).
+
+    coeffs: (..., K) with K = 2^k. If log_size > k the coefficients are
+    zero-extended into the larger basis first (low-degree extension).
+    """
+    coeffs = jnp.asarray(coeffs, jnp.uint32)
+    k_size = coeffs.shape[-1]
+    k = int(k_size).bit_length() - 1
+    assert 1 << k == k_size
+    n = k if log_size is None else log_size
+    assert n >= k
+    if n > k:
+        coeffs = extend_coeffs(coeffs, n)
+    dom = domain(n)
+
+    v = coeffs
+    for j in range(n, 1, -1):
+        s = _stage_split(v, j, n)
+        f0, f1 = s[..., 0, :], s[..., 1, :]
+        t = jnp.asarray(dom.x_twiddle_stages[j - 2])
+        tf1 = m31_mul(t, f1)
+        a = m31_add(f0, tf1)
+        b = m31_sub(f0, tf1)
+        v = jnp.stack([a, b], axis=-2).reshape(coeffs.shape)
+    # Stage 1 (y).
+    s = _stage_split(v, 1, n)
+    f0, f1 = s[..., 0, :], s[..., 1, :]
+    t = jnp.asarray(dom.y_twiddles)
+    tf1 = m31_mul(t, f1)
+    return jnp.concatenate(
+        [m31_add(f0, tf1), m31_sub(f0, tf1)], axis=-1).reshape(coeffs.shape)
+
+
+def extend_coeffs(coeffs, log_size: int):
+    """Embed bit-reversed coeffs of a 2^k basis into a 2^log_size basis."""
+    k_size = coeffs.shape[-1]
+    stride = (1 << log_size) // k_size
+    if stride == 1:
+        return coeffs
+    out = jnp.zeros(coeffs.shape[:-1] + (k_size, stride), jnp.uint32)
+    out = out.at[..., 0].set(coeffs)
+    return out.reshape(coeffs.shape[:-1] + (1 << log_size,))
+
+
+def lde(evals, log_blowup: int):
+    """Low-degree extension: evals on domain(n) -> evals on domain(n + blowup)."""
+    n = int(evals.shape[-1]).bit_length() - 1
+    return evaluate(interpolate(evals), n + log_blowup)
+
+
+# ---------------------------------------------------------------------------
+# Reference helpers (host, for tests and the verifier's point evaluations)
+# ---------------------------------------------------------------------------
+
+def coeff_index_to_pos(j: int, n: int) -> int:
+    """Position of natural coefficient index j in the bit-reversed layout."""
+    return int(bin(j + (1 << n))[3:][::-1], 2)
+
+
+def eval_basis_naive(j: int, n: int, x: int, y: int) -> int:
+    """b_j(x, y) with python ints — the ground-truth basis definition."""
+    acc = 1
+    if j & 1:
+        acc = y
+    cur = x
+    for k in range(1, n):
+        if (j >> k) & 1:
+            acc = acc * cur % P
+        cur = (2 * cur * cur - 1) % P
+    return acc
+
+
+def eval_at_point_naive(coeffs_bitrev, x: int, y: int) -> int:
+    """Evaluate a bit-reversed coefficient vector at one point (host)."""
+    c = np.asarray(coeffs_bitrev, dtype=np.uint64)
+    n = int(len(c)).bit_length() - 1
+    acc = 0
+    for j in range(len(c)):
+        cj = int(c[coeff_index_to_pos(j, n)])
+        if cj:
+            acc = (acc + cj * eval_basis_naive(j, n, x, y)) % P
+    return acc
