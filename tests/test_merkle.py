@@ -1,0 +1,86 @@
+"""Merkle forest: commit/decommit/verify round-trips and tamper rejection."""
+import numpy as np
+
+from nexus_zkvm_tpu.ops import merkle
+from nexus_zkvm_tpu.ops.field import P
+
+RNG = np.random.default_rng(11)
+
+
+def cols_mixed():
+    return [
+        RNG.integers(0, P, size=(64,), dtype=np.uint32),
+        RNG.integers(0, P, size=(64,), dtype=np.uint32),
+        RNG.integers(0, P, size=(16,), dtype=np.uint32),
+        RNG.integers(0, P, size=(8,), dtype=np.uint32),
+        RNG.integers(0, P, size=(64,), dtype=np.uint32),
+    ]
+
+
+def test_commit_shapes_and_determinism():
+    cols = cols_mixed()
+    t1 = merkle.commit(cols)
+    t2 = merkle.commit(cols)
+    assert t1.max_depth == 6
+    assert t1.layers[0].shape == (1, 8)
+    assert t1.layers[6].shape == (64, 8)
+    assert np.array_equal(t1.root(), t2.root())
+    # different data -> different root
+    cols2 = [c.copy() for c in cols]
+    cols2[2][3] ^= 1
+    assert not np.array_equal(merkle.commit(cols2).root(), t1.root())
+
+
+def test_decommit_verify_roundtrip():
+    cols = cols_mixed()
+    tree = merkle.commit(cols)
+    lengths = [len(c) for c in cols]
+    for queries in [[0], [63], [5, 5, 6], [0, 1, 31, 32, 62, 63],
+                    list(range(10))]:
+        dec = merkle.decommit(tree, queries)
+        assert merkle.verify_decommitment(tree.root(), lengths, queries, dec), queries
+        # values surfaced match the actual columns
+        q = sorted(set(queries))
+        assert np.array_equal(
+            dec.column_values[0],
+            cols[0][np.asarray(sorted({x for x in q}))])
+
+
+def test_verify_rejects_tampered_value():
+    cols = cols_mixed()
+    tree = merkle.commit(cols)
+    lengths = [len(c) for c in cols]
+    queries = [3, 40]
+    dec = merkle.decommit(tree, queries)
+    dec.column_values[1] = dec.column_values[1].copy()
+    dec.column_values[1][0] ^= 1
+    assert not merkle.verify_decommitment(tree.root(), lengths, queries, dec)
+
+
+def test_verify_rejects_tampered_sibling():
+    cols = cols_mixed()
+    tree = merkle.commit(cols)
+    lengths = [len(c) for c in cols]
+    queries = [7]
+    dec = merkle.decommit(tree, queries)
+    dec.sibling_hashes[2] = dec.sibling_hashes[2].copy()
+    dec.sibling_hashes[2][0] ^= 1
+    assert not merkle.verify_decommitment(tree.root(), lengths, queries, dec)
+
+
+def test_verify_rejects_wrong_root():
+    cols = cols_mixed()
+    tree = merkle.commit(cols)
+    lengths = [len(c) for c in cols]
+    queries = [9]
+    dec = merkle.decommit(tree, queries)
+    bad = np.asarray(tree.root()).copy()
+    bad[0] ^= 1
+    assert not merkle.verify_decommitment(bad, lengths, queries, dec)
+
+
+def test_single_column_single_leaf():
+    col = np.asarray([5], dtype=np.uint32)
+    tree = merkle.commit([col])
+    dec = merkle.decommit(tree, [0])
+    assert merkle.verify_decommitment(tree.root(), [1], [0], dec)
