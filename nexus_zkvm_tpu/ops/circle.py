@@ -153,3 +153,98 @@ class CircleDomain:
 @lru_cache(maxsize=None)
 def domain(log_size: int) -> CircleDomain:
     return CircleDomain(log_size)
+
+
+# ---------------------------------------------------------------------------
+# Row orders.
+#
+# Three index orders coexist in the framework (all precomputed host-side):
+#
+# * natural : row r <-> point (2r+1)·g — the trace/AIR order. Mask offset
+#   +1 (next row) is a cyclic shift, so constraint evaluation uses
+#   `jnp.roll` and nothing else.
+# * layout  : `[H | J(H)]` — what the circle FFT consumes (see CircleDomain).
+#   natural r=2k -> k;  r=2k+1 -> N-1-k.
+# * committed (bit-reversed layout) : the Merkle/FRI order. Every FRI fold
+#   pairs adjacent elements (2i, 2i+1) and emits index i, so query paths
+#   shrink as q >> 1 per fold and a pair shares all but the last Merkle
+#   path node.
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def bit_reverse_indices(log_n: int) -> np.ndarray:
+    """perm[i] = bit-reversal of i over log_n bits (an involution)."""
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.int64)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        rev |= ((idx >> b) & 1) << (log_n - 1 - b)
+    return rev
+
+
+@lru_cache(maxsize=None)
+def layout_to_natural(log_size: int) -> np.ndarray:
+    """perm[l] = natural row index of layout position l."""
+    n = 1 << log_size
+    half = n // 2
+    out = np.empty(n, dtype=np.int64)
+    k = np.arange(half, dtype=np.int64)
+    out[:half] = 2 * k                 # H[k] = (4k+1)g  <-> natural 2k
+    out[half:] = 2 * (half - 1 - k) + 1  # J(H[k]) <-> natural 2(half-1-k)+1
+    return out
+
+
+@lru_cache(maxsize=None)
+def committed_to_natural(log_size: int) -> np.ndarray:
+    """perm[j] = natural row of committed (bit-reversed layout) position j."""
+    return layout_to_natural(log_size)[bit_reverse_indices(log_size)]
+
+
+@lru_cache(maxsize=None)
+def natural_to_committed(log_size: int) -> np.ndarray:
+    inv = np.empty(1 << log_size, dtype=np.int64)
+    inv[committed_to_natural(log_size)] = np.arange(1 << log_size)
+    return inv
+
+
+# ---------------------------------------------------------------------------
+# QM31 (out-of-domain) circle points — host-side numpy
+# ---------------------------------------------------------------------------
+
+def oods_point_from_felt(t):
+    """Map a channel-drawn QM31 ``t`` to a QM31 point on the circle.
+
+    x = (1 - t^2)/(1 + t^2), y = 2t/(1 + t^2) — the standard rational
+    parameterization (x^2 + y^2 = 1 identically).
+    """
+    from .field import (np_qm31, np_qm31_add, np_qm31_sub, np_qm31_mul,
+                        np_qm31_inv)
+    t = np.asarray(t, np.uint64)
+    t2 = np_qm31_mul(t, t)
+    one = np_qm31(np.uint64(1))
+    inv = np_qm31_inv(np_qm31_add(one, t2))
+    x = np_qm31_mul(np_qm31_sub(one, t2), inv)
+    y = np_qm31_mul(np_qm31_add(t, t), inv)
+    return x, y
+
+
+def qm31_point_add(p, q):
+    """Group law for QM31 circle points ((4,) coordinate arrays)."""
+    from .field import np_qm31_add, np_qm31_sub, np_qm31_mul
+    x1, y1 = (np.asarray(c, np.uint64) for c in p)
+    x2, y2 = (np.asarray(c, np.uint64) for c in q)
+    return (np_qm31_sub(np_qm31_mul(x1, x2), np_qm31_mul(y1, y2)),
+            np_qm31_add(np_qm31_mul(x1, y2), np_qm31_mul(y1, x2)))
+
+
+def m31_point_as_qm31(p):
+    from .field import np_qm31
+    return np_qm31(np.uint64(p[0])), np_qm31(np.uint64(p[1]))
+
+
+@lru_cache(maxsize=None)
+def committed_points(log_size: int):
+    """Domain (x, y) uint32 arrays in committed order."""
+    x, y = domain(log_size).points()
+    perm = bit_reverse_indices(log_size)  # layout -> committed is rev itself
+    return x[perm], y[perm]

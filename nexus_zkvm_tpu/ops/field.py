@@ -324,3 +324,95 @@ def np_m31_pow(x, e: int):
 
 def np_m31_inv(x):
     return np_m31_pow(x, P - 2)
+
+
+# -- host-side CM31/QM31 (trailing-dim 2/4 uint64 arrays, same layout as the
+#    device versions). Used by the verifier's per-query scalar math and by
+#    twiddle/OODS precompute; golden-tested against the jnp kernels.
+
+def np_cm31_mul(a, b):
+    a = np.asarray(a, np.uint64)
+    b = np.asarray(b, np.uint64)
+    ar, ai = a[..., 0], a[..., 1]
+    br, bi = b[..., 0], b[..., 1]
+    rr = np_m31_sub(np_m31_mul(ar, br), np_m31_mul(ai, bi))
+    ri = np_m31_add(np_m31_mul(ar, bi), np_m31_mul(ai, br))
+    return np.stack([rr, ri], axis=-1)
+
+
+def np_cm31_inv(a):
+    a = np.asarray(a, np.uint64)
+    ar, ai = a[..., 0], a[..., 1]
+    norm = np_m31_add(np_m31_mul(ar, ar), np_m31_mul(ai, ai))
+    ninv = np_m31_inv(norm)
+    return np.stack([np_m31_mul(ar, ninv),
+                     np_m31_mul(np_m31_neg(ai), ninv)], axis=-1)
+
+
+def _np_mul_by_r(x):
+    xr, xi = x[..., 0], x[..., 1]
+    rr = np_m31_sub(np_m31_add(xr, xr), xi)
+    ri = np_m31_add(np_m31_add(xi, xi), xr)
+    return np.stack([rr, ri], axis=-1)
+
+
+def np_qm31(a, b=0, c=0, d=0):
+    parts = np.broadcast_arrays(*(np.asarray(v, np.uint64) % np.uint64(P)
+                                  for v in (a, b, c, d)))
+    return np.stack(parts, axis=-1)
+
+
+def np_qm31_add(a, b):
+    return np_m31_add(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
+
+
+def np_qm31_sub(a, b):
+    return np_m31_sub(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
+
+
+def np_qm31_neg(a):
+    return np_m31_neg(np.asarray(a, np.uint64))
+
+
+def np_qm31_mul(x, y):
+    x = np.asarray(x, np.uint64)
+    y = np.asarray(y, np.uint64)
+    xa, xb = x[..., 0:2], x[..., 2:4]
+    ya, yb = y[..., 0:2], y[..., 2:4]
+    ac = np_cm31_mul(xa, ya)
+    bd = np_cm31_mul(xb, yb)
+    ad_bc = np_m31_add(np_cm31_mul(xa, yb), np_cm31_mul(xb, ya))
+    lo = np_m31_add(ac, _np_mul_by_r(bd))
+    return np.concatenate([lo, ad_bc], axis=-1)
+
+
+def np_qm31_inv(x):
+    x = np.asarray(x, np.uint64)
+    xa, xb = x[..., 0:2], x[..., 2:4]
+    denom = np_m31_sub(np_cm31_mul(xa, xa), _np_mul_by_r(np_cm31_mul(xb, xb)))
+    dinv = np_cm31_inv(denom)
+    return np.concatenate([np_cm31_mul(xa, dinv),
+                           np_cm31_mul(np_m31_neg(xb), dinv)], axis=-1)
+
+
+def np_qm31_conj(x):
+    """Galois conjugation of QM31 over CM31: u -> -u (negates coords 2, 3).
+
+    Fixes CM31 (hence M31), so for any polynomial f with M31
+    coefficients, conj(f(z)) = f(conj(z)) — the identity the OODS
+    quotients rely on.
+    """
+    x = np.asarray(x, np.uint64)
+    return np.concatenate([x[..., 0:2], np_m31_neg(x[..., 2:4])], axis=-1)
+
+
+def np_qm31_pow(x, e: int):
+    x = np.asarray(x, np.uint64)
+    acc = np_qm31(np.ones(x.shape[:-1], np.uint64))
+    base = x
+    while e:
+        if e & 1:
+            acc = np_qm31_mul(acc, base)
+        base = np_qm31_mul(base, base)
+        e >>= 1
+    return acc
