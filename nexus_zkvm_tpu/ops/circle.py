@@ -195,6 +195,14 @@ def layout_to_natural(log_size: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def natural_to_layout(log_size: int) -> np.ndarray:
+    """inverse of layout_to_natural: perm[r] = layout position of row r."""
+    inv = np.empty(1 << log_size, dtype=np.int64)
+    inv[layout_to_natural(log_size)] = np.arange(1 << log_size)
+    return inv
+
+
+@lru_cache(maxsize=None)
 def committed_to_natural(log_size: int) -> np.ndarray:
     """perm[j] = natural row of committed (bit-reversed layout) position j."""
     return layout_to_natural(log_size)[bit_reverse_indices(log_size)]

@@ -1,0 +1,580 @@
+"""The STARK prove/verify driver.
+
+Counterpart of the reference's proving pipeline
+(`Machine::prove_with_extensions`,
+`/root/reference/prover/src/machine.rs:130-297`, and
+`verify_with_extensions`, `machine.rs:318-485`), re-orchestrated for
+TPU: all per-row work (trace LDE, constraint evaluation, LogUp
+generation, quotients, FRI folds, Merkle layers) is vectorized jnp over
+the full domain; the host only runs the Fiat-Shamir channel and the
+per-query verifier arithmetic.
+
+Transcript order (frozen; both sides must match exactly):
+  mix log_sizes | mix pre roots | mix main roots | draw relations
+  | mix claimed_sums | mix inter roots | draw composition alpha
+  | mix comp root | draw OODS t | mix sampled values | draw gamma
+  | FRI (mix inner roots / draw alphas / mix last layer)
+  | PoW grind+mix | draw queries.
+
+Composition accumulation rule: components in order, constraints within
+a component Horner-accumulated with alpha; component c's block is
+scaled by alpha^(sum of later components' constraint counts); each
+component divides by its own domain vanishing polynomial
+v_n = pi^(n-1)(x). Like the reference, the verifier recomputes the
+preprocessed commitment itself (`machine.rs:363-417`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import cfft, fri, merkle, quotients
+from ..ops.field import (
+    P, m31_add, m31_sub, m31_mul, m31_inv, qm31_mul, qm31_mul_m31,
+    np_qm31, np_qm31_add, np_qm31_sub, np_qm31_mul, np_qm31_inv,
+    np_qm31_pow,
+)
+from ..ops.circle import (
+    domain, natural_to_layout, layout_to_natural, oods_point_from_felt,
+    qm31_point_add, m31_point_as_qm31, subgroup_gen, point_mul, point_neg,
+)
+from ..air.component import (
+    component_info, generate_interaction, run_constraints,
+    DomainEvalContext, PointEvalContext, preprocessed_is_first,
+)
+from ..air.lookups import draw_relations
+from .config import PcsConfig
+from . import pcs
+
+__all__ = ["prove", "verify", "Proof"]
+
+ROLE_ORDER = ("pre", "main", "inter", "comp")
+_QM31_BASIS = [np_qm31(*(np.uint64(1) if t == i else np.uint64(0)
+                         for t in range(4))) for i in range(4)]
+
+
+# ---------------------------------------------------------------------------
+# Column plan — the canonical committed-column enumeration
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ColumnMeta:
+    role: str
+    comp: int          # component index; -1 for shared/composition columns
+    key: tuple         # ('is_first', si) | (j,) | (i,) | (b, t) | (t,)
+    trace_log: int
+    offsets: tuple     # sorted mask offsets
+    ridx: int          # index within its role (commit order)
+
+
+@dataclass
+class Plan:
+    metas: list
+    pre_sizes: list            # distinct component sizes, descending
+    by_role: dict              # role -> [plan indices]
+    index: dict                # (role, comp, key) -> plan index
+    groups: dict               # eval_log -> [plan indices] (plan order)
+    n_comp_trace_log: int      # nmax + 2
+
+    def group_index(self, s):
+        """plan idx -> index within the size-s quotient group."""
+        return {i: gi for gi, i in enumerate(self.groups[s])}
+
+    def role_size_cols(self, role, s):
+        """Role-internal column indices with eval size s, commit order."""
+        return [self.metas[i].ridx for i in self.groups[s]
+                if self.metas[i].role == role]
+
+
+def build_plan(components, log_sizes, infos, config: PcsConfig) -> Plan:
+    nmax = max(log_sizes)
+    blowup = config.fri.log_blowup
+    pre_sizes = sorted(set(log_sizes), reverse=True)
+    metas, by_role, index = [], {r: [] for r in ROLE_ORDER}, {}
+
+    def add(role, comp, key, trace_log, offsets):
+        ridx = len(by_role[role])
+        m = ColumnMeta(role=role, comp=comp, key=key, trace_log=trace_log,
+                       offsets=tuple(offsets), ridx=ridx)
+        index[(role, comp, key)] = len(metas)
+        by_role[role].append(len(metas))
+        metas.append(m)
+
+    for si, n in enumerate(pre_sizes):
+        add("pre", -1, ("is_first", si), n, (0,))
+    for c, info in enumerate(infos):
+        for j in range(info.n_pre):
+            add("pre", c, (j,), log_sizes[c], info.masks_pre[j])
+    for c, info in enumerate(infos):
+        for i in range(info.n_main):
+            add("main", c, (i,), log_sizes[c], info.masks_main[i])
+    for c, info in enumerate(infos):
+        for b in range(info.n_logup_cols):
+            for t in range(4):
+                add("inter", c, (b, t), log_sizes[c], info.masks_inter[b])
+    for t in range(4):
+        add("comp", -1, (t,), nmax + 2, (0,))
+
+    groups = {}
+    for i, m in enumerate(metas):
+        groups.setdefault(m.trace_log + blowup, []).append(i)
+    return Plan(metas=metas, pre_sizes=pre_sizes, by_role=by_role,
+                index=index, groups=groups, n_comp_trace_log=nmax + 2)
+
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+def _point_for(z, trace_log: int, off: int):
+    if off == 0:
+        return z
+    step = point_mul(subgroup_gen(trace_log), abs(off))
+    if off < 0:
+        step = point_neg(step)
+    return qm31_point_add(z, m31_point_as_qm31(step))
+
+
+def _build_samples(plan: Plan, z, sampled):
+    """{eval_log -> [PointSample]} in canonical order."""
+    out = {}
+    for s, idxs in plan.groups.items():
+        offs = sorted({o for i in idxs for o in plan.metas[i].offsets})
+        tlog = plan.metas[idxs[0]].trace_log
+        batches = []
+        for o in offs:
+            pt = _point_for(z, tlog, o)
+            cols, vals = [], []
+            for gi, i in enumerate(idxs):
+                m = plan.metas[i]
+                if o in m.offsets:
+                    cols.append(gi)
+                    vals.append(np.asarray(sampled[i][m.offsets.index(o)],
+                                           np.uint64))
+            batches.append(quotients.PointSample(point=pt, columns=cols,
+                                                 values=vals))
+        out[s] = batches
+    return out
+
+
+_INV_VANISH_CACHE = {}
+
+
+def inv_vanishing_natural(n: int, eval_log: int):
+    """1 / v_n on the 2^eval_log domain, natural order (device array)."""
+    key = (n, eval_log)
+    if key not in _INV_VANISH_CACHE:
+        x_layout, _ = domain(eval_log).points()
+        x_nat = x_layout[natural_to_layout(eval_log)]
+        t = jnp.asarray(x_nat)
+        for _ in range(n - 1):
+            sq = m31_mul(t, t)
+            t = m31_sub(m31_add(sq, sq), jnp.uint32(1))
+        _INV_VANISH_CACHE[key] = m31_inv(t)
+    return _INV_VANISH_CACHE[key]
+
+
+def vanish_at_qm31(n: int, z_x):
+    """v_n at a QM31 x-coordinate (host)."""
+    t = np.asarray(z_x, np.uint64)
+    one = np_qm31(np.uint64(1))
+    for _ in range(n - 1):
+        sq = np_qm31_mul(t, t)
+        t = np_qm31_sub(np_qm31_add(sq, sq), one)
+    return t
+
+
+def _qm31_reconstruct(vals):
+    """QM31 value of a 4-base-column group from its coordinate samples."""
+    acc = np.zeros(4, np.uint64)
+    for t in range(4):
+        acc = np_qm31_add(acc, np_qm31_mul(_QM31_BASIS[t],
+                                           np.asarray(vals[t], np.uint64)))
+    return acc
+
+
+def _relation_widths(infos):
+    widths = {}
+    for info in infos:
+        for name, w in info.relation_widths.items():
+            widths[name] = max(widths.get(name, 0), w)
+    return widths
+
+
+def _alpha_shifts(infos):
+    ks = [info.n_constraints for info in infos]
+    return [sum(ks[c + 1:]) for c in range(len(ks))]
+
+
+def _pre_columns(components, log_sizes, infos, plan: Plan):
+    cols, logs = [], []
+    for si, n in enumerate(plan.pre_sizes):
+        cols.append(preprocessed_is_first(n))
+        logs.append(n)
+    for c, comp in enumerate(components):
+        for name, arr in comp.preprocessed(log_sizes[c]):
+            cols.append(np.asarray(arr, np.uint32))
+            logs.append(log_sizes[c])
+    return cols, logs
+
+
+# ---------------------------------------------------------------------------
+# Proof
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Proof:
+    log_sizes: list
+    roots: dict              # role -> [(eval_log, (8,) uint32)] desc
+    claimed_sums: list       # per component, (4,) uint64
+    sampled: list            # per plan column, (n_offsets, 4) uint64
+    fri_proof: fri.FriProof
+    pow_nonce: int
+    openings: dict           # role -> [(eval_log, MerkleDecommitment)]
+
+    def size_estimate(self) -> int:
+        """Rough serialized size in bytes (values + hashes)."""
+        total = 0
+        for _, decs in self.openings.items():
+            for _s, d in decs:
+                total += sum(len(v) * 4 for v in d.column_values)
+                total += len(d.sibling_hashes) * 32
+        for d in self.fri_proof.inner_decommitments:
+            total += sum(len(v) * 4 for v in d.column_values)
+            total += len(d.sibling_hashes) * 32
+        total += len(self.fri_proof.inner_roots) * 32
+        total += self.fri_proof.last_layer.size * 4
+        total += sum(s.size * 4 for s in self.sampled)
+        total += sum(len(r) * 32 for r in self.roots.values())
+        total += len(self.claimed_sums) * 16
+        return total
+
+
+# ---------------------------------------------------------------------------
+# Prove
+# ---------------------------------------------------------------------------
+
+def prove(components, log_sizes, main_traces, channel,
+          config: PcsConfig = PcsConfig()) -> Proof:
+    """components: list[Component]; main_traces: per component a list of
+    natural-order uint32 arrays of size 2^log_sizes[c]."""
+    infos = [component_info(c) for c in components]
+    plan = build_plan(components, log_sizes, infos, config)
+    blowup = config.fri.log_blowup
+    nmax = max(log_sizes)
+    s0 = plan.n_comp_trace_log + blowup
+
+    channel.mix_u32s(np.asarray(log_sizes, np.uint32))
+
+    # -- tree 0: preprocessed ------------------------------------------
+    pre_cols, pre_logs = _pre_columns(components, log_sizes, infos, plan)
+    rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup)
+    rc_pre.mix_roots(channel)
+
+    # -- tree 1: main ---------------------------------------------------
+    main_cols, main_logs = [], []
+    for c in range(len(components)):
+        assert len(main_traces[c]) == infos[c].n_main
+        for col in main_traces[c]:
+            assert col.shape == (1 << log_sizes[c],)
+            main_cols.append(np.asarray(col, np.uint32))
+            main_logs.append(log_sizes[c])
+    rc_main = pcs.commit_columns("main", main_cols, main_logs, blowup)
+    rc_main.mix_roots(channel)
+
+    # -- relations + tree 2: interaction ---------------------------------
+    relations = draw_relations(channel, _relation_widths(infos))
+    inter_qm31 = []      # per component: list of (M, 4) arrays
+    claimed_sums = []
+    pre_per_comp = _pre_arrays_per_component(components, log_sizes, infos,
+                                             pre_cols, plan)
+    for c, comp in enumerate(components):
+        cols, claimed = generate_interaction(
+            comp, main_traces[c], pre_per_comp[c], relations, log_sizes[c])
+        inter_qm31.append(cols)
+        claimed_sums.append(np.asarray(claimed, np.uint64))
+    channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
+                      if claimed_sums else np.zeros((0, 4), np.uint32))
+    inter_cols, inter_logs = [], []
+    for c in range(len(components)):
+        for col in inter_qm31[c]:
+            for t in range(4):
+                inter_cols.append(np.asarray(col[:, t], np.uint32))
+                inter_logs.append(log_sizes[c])
+    rc_inter = (pcs.commit_columns("inter", inter_cols, inter_logs, blowup)
+                if inter_cols else None)
+    if rc_inter is not None:
+        rc_inter.mix_roots(channel)
+
+    # -- composition ------------------------------------------------------
+    alpha = np.asarray(channel.draw_felt(), np.uint64)
+    shifts = _alpha_shifts(infos)
+    buckets = {}
+    for c, comp in enumerate(components):
+        n = log_sizes[c]
+        ev_log = n + 2
+        main_evals = [rc_main.evals_natural(plan.metas[i].ridx, ev_log)
+                      for i in plan.by_role["main"]
+                      if plan.metas[i].comp == c]
+        pre_evals = [rc_pre.evals_natural(plan.metas[i].ridx, ev_log)
+                     for i in plan.by_role["pre"]
+                     if plan.metas[i].comp == c]
+        isf_idx = plan.index[("pre", -1,
+                              ("is_first", plan.pre_sizes.index(n)))]
+        isf_evals = rc_pre.evals_natural(plan.metas[isf_idx].ridx, ev_log)
+        inter_evals = []
+        for b in range(infos[c].n_logup_cols):
+            coords = [rc_inter.evals_natural(
+                plan.metas[plan.index[("inter", c, (b, t))]].ridx, ev_log)
+                for t in range(4)]
+            inter_evals.append(jnp.stack(coords, axis=-1))
+        ctx = DomainEvalContext(main_evals, pre_evals, inter_evals,
+                                isf_evals, relations, claimed_sums[c],
+                                alpha)
+        acc, k = run_constraints(comp, ctx)
+        assert k == infos[c].n_constraints
+        if acc is None:
+            continue
+        contrib = acc.as_qm31().v
+        contrib = qm31_mul_m31(contrib, inv_vanishing_natural(n, ev_log))
+        shift = np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
+        contrib = qm31_mul(jnp.asarray(shift), contrib)
+        if ev_log in buckets:
+            buckets[ev_log] = m31_add(buckets[ev_log], contrib)
+        else:
+            buckets[ev_log] = contrib
+
+    comp_log = plan.n_comp_trace_log
+    comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+    for ev_log, arr in sorted(buckets.items(), reverse=True):
+        arr_layout = arr[jnp.asarray(layout_to_natural(ev_log))]
+        cf = cfft.interpolate(arr_layout.T)          # (4, 2^ev_log)
+        cf = cfft.extend_coeffs(cf, comp_log)
+        comp_coeffs = m31_add(comp_coeffs, cf)
+    rc_comp = pcs.commit_from_coeffs(
+        "comp", [comp_coeffs[t] for t in range(4)], [comp_log] * 4, blowup)
+    rc_comp.mix_roots(channel)
+
+    # -- OODS sampling ----------------------------------------------------
+    t_felt = channel.draw_felt()
+    z = oods_point_from_felt(t_felt)
+    rcs = {"pre": rc_pre, "main": rc_main, "inter": rc_inter,
+           "comp": rc_comp}
+    sampled = []
+    for i, m in enumerate(plan.metas):
+        coeffs = rcs[m.role].coeffs[m.ridx]
+        vals = [cfft.evaluate_at_qm31_point(
+            coeffs, _point_for(z, m.trace_log, o)) for o in m.offsets]
+        sampled.append(np.stack(vals).astype(np.uint64))
+    channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
+                      .astype(np.uint32))
+
+    # -- quotients + FRI ----------------------------------------------------
+    gamma = np.asarray(channel.draw_felt(), np.uint64)
+    samples_by_size = _build_samples(plan, z, sampled)
+    fri_inputs, offset = {}, 0
+    for s in sorted(plan.groups, reverse=True):
+        cols = []
+        for i in plan.groups[s]:
+            m = plan.metas[i]
+            rc = rcs[m.role]
+            row = rc.cols_by_size[s].index(m.ridx)
+            cols.append(jnp.asarray(rc.evals[s][row]))
+        fri_inputs[s] = quotients.accumulate_quotients(
+            s, cols, samples_by_size[s], gamma, offset)
+        offset += quotients.n_terms(samples_by_size[s])
+    fri_state = fri.fri_commit(fri_inputs, channel, config.fri)
+
+    # -- PoW + queries + openings ------------------------------------------
+    pow_nonce = channel.grind_pow(config.pow_bits)
+    queries = channel.draw_queries(config.fri.n_queries, s0)
+    openings, roots = {}, {}
+    for role, rc in rcs.items():
+        if rc is None:
+            roots[role] = []
+            openings[role] = []
+            continue
+        pos = {s: pcs.open_positions(queries, s0, s)
+               for s in rc.sizes_desc()}
+        openings[role] = rc.open(pos)
+        roots[role] = rc.roots()
+    fri_proof = fri.fri_decommit(fri_state, queries)
+
+    return Proof(log_sizes=list(log_sizes), roots=roots,
+                 claimed_sums=claimed_sums, sampled=sampled,
+                 fri_proof=fri_proof, pow_nonce=pow_nonce,
+                 openings=openings)
+
+
+def _pre_arrays_per_component(components, log_sizes, infos, pre_cols, plan):
+    out = []
+    k = len(plan.pre_sizes)
+    for c, comp in enumerate(components):
+        own = pre_cols[k:k + infos[c].n_pre]
+        out.append(own)
+        k += infos[c].n_pre
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Verify
+# ---------------------------------------------------------------------------
+
+def verify(components, proof: Proof, channel,
+           config: PcsConfig = PcsConfig()) -> bool:
+    try:
+        return _verify(components, proof, channel, config)
+    except (KeyError, IndexError, ValueError, AssertionError):
+        return False
+
+
+def _verify(components, proof, channel, config):
+    infos = [component_info(c) for c in components]
+    log_sizes = list(proof.log_sizes)
+    if len(log_sizes) != len(components):
+        return False
+    plan = build_plan(components, log_sizes, infos, config)
+    blowup = config.fri.log_blowup
+    s0 = plan.n_comp_trace_log + blowup
+
+    channel.mix_u32s(np.asarray(log_sizes, np.uint32))
+
+    # Recompute the preprocessed commitment (prover simulation), compare.
+    pre_cols, pre_logs = _pre_columns(components, log_sizes, infos, plan)
+    rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup)
+    if [(s, r.tolist()) for s, r in rc_pre.roots()] != \
+            [(s, np.asarray(r).tolist()) for s, r in proof.roots["pre"]]:
+        return False
+    rc_pre.mix_roots(channel)
+
+    for s, root in proof.roots["main"]:
+        channel.mix_u32s(np.asarray(root, np.uint32))
+    relations = draw_relations(channel, _relation_widths(infos))
+
+    claimed_sums = [np.asarray(cs, np.uint64) for cs in proof.claimed_sums]
+    if len(claimed_sums) != len(components):
+        return False
+    total = np.zeros(4, np.uint64)
+    for cs in claimed_sums:
+        total = np_qm31_add(total, cs)
+    if total.any():
+        return False
+    channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
+                      if claimed_sums else np.zeros((0, 4), np.uint32))
+    for s, root in proof.roots["inter"]:
+        channel.mix_u32s(np.asarray(root, np.uint32))
+
+    alpha = np.asarray(channel.draw_felt(), np.uint64)
+    for s, root in proof.roots["comp"]:
+        channel.mix_u32s(np.asarray(root, np.uint32))
+
+    t_felt = channel.draw_felt()
+    z = oods_point_from_felt(t_felt)
+    sampled = [np.asarray(s, np.uint64) for s in proof.sampled]
+    if len(sampled) != len(plan.metas):
+        return False
+    for i, m in enumerate(plan.metas):
+        if sampled[i].shape != (len(m.offsets), 4):
+            return False
+    channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
+                      .astype(np.uint32))
+
+    # -- OODS composition identity ---------------------------------------
+    shifts = _alpha_shifts(infos)
+    total = np.zeros(4, np.uint64)
+    for c, comp in enumerate(components):
+        n = log_sizes[c]
+        mask_vals = {}
+        for j in range(infos[c].n_pre):
+            i = plan.index[("pre", c, (j,))]
+            for oi, o in enumerate(plan.metas[i].offsets):
+                mask_vals[("pre", j, o)] = sampled[i][oi]
+        for jm in range(infos[c].n_main):
+            i = plan.index[("main", c, (jm,))]
+            for oi, o in enumerate(plan.metas[i].offsets):
+                mask_vals[("main", jm, o)] = sampled[i][oi]
+        for b in range(infos[c].n_logup_cols):
+            idxs = [plan.index[("inter", c, (b, t))] for t in range(4)]
+            for oi, o in enumerate(plan.metas[idxs[0]].offsets):
+                mask_vals[("inter", b, o)] = _qm31_reconstruct(
+                    [sampled[i][oi] for i in idxs])
+        isf_i = plan.index[("pre", -1,
+                            ("is_first", plan.pre_sizes.index(n)))]
+        mask_vals[("is_first", 0, 0)] = sampled[isf_i][0]
+        ctx = PointEvalContext(mask_vals, relations, claimed_sums[c], alpha)
+        acc, k = run_constraints(comp, ctx)
+        if k != infos[c].n_constraints:
+            return False
+        if acc is None:
+            continue
+        term = np_qm31_mul(acc.as_qm31().v,
+                           np_qm31_inv(vanish_at_qm31(n, z[0])))
+        term = np_qm31_mul(np_qm31_pow(alpha, shifts[c]), term)
+        total = np_qm31_add(total, term)
+    comp_idxs = [plan.index[("comp", -1, (t,))] for t in range(4)]
+    comp_at_z = _qm31_reconstruct([sampled[i][0] for i in comp_idxs])
+    if not np.array_equal(total, comp_at_z):
+        return False
+
+    # -- quotient / FRI phase ---------------------------------------------
+    gamma = np.asarray(channel.draw_felt(), np.uint64)
+    alphas = fri.fri_replay(proof.fri_proof, channel, config.fri,
+                            list(plan.groups))
+    if not channel.mix_pow_nonce(config.pow_bits, proof.pow_nonce):
+        return False
+    queries = channel.draw_queries(config.fri.n_queries, s0)
+
+    # Verify tree openings and collect opened values per plan column.
+    roots = {role: dict((s, np.asarray(r)) for s, r in proof.roots[role])
+             for role in ROLE_ORDER}
+    roots["pre"] = dict((s, np.asarray(r)) for s, r in rc_pre.roots())
+    opened = {}      # (role, s) -> (positions, decommitment)
+    for role in ROLE_ORDER:
+        decs = dict((s, d) for s, d in proof.openings[role])
+        sizes_present = sorted(
+            {plan.metas[i].trace_log + blowup
+             for i in plan.by_role[role]}, reverse=True)
+        for s in sizes_present:
+            ncols = len(plan.role_size_cols(role, s))
+            if ncols == 0:
+                continue
+            positions = pcs.open_positions(queries, s0, s)
+            d = decs[s]
+            if not merkle.verify_decommitment(
+                    roots[role][s], [1 << s] * ncols, positions, d):
+                return False
+            opened[(role, s)] = (positions, d)
+
+    # Recompute combined quotients at opened positions -> FRI inputs.
+    samples_by_size = _build_samples(plan, z, sampled)
+    offsets_by_size, off = {}, 0
+    for s in sorted(plan.groups, reverse=True):
+        offsets_by_size[s] = off
+        off += quotients.n_terms(samples_by_size[s])
+    inputs_at = {}
+    for s, idxs in plan.groups.items():
+        positions = pcs.open_positions(queries, s0, s)
+        # per position: {group col idx -> value}
+        role_row = {}
+        role_counter = {}
+        for gi, i in enumerate(idxs):
+            role = plan.metas[i].role
+            k = role_counter.get(role, 0)
+            role_counter[role] = k + 1
+            role_row[gi] = (role, k)
+        at = {}
+        for pi, p in enumerate(positions):
+            colvals = {}
+            for gi, i in enumerate(idxs):
+                role, k = role_row[gi]
+                _pos, d = opened[(role, s)]
+                colvals[gi] = int(d.column_values[k][pi])
+            at[p] = quotients.quotients_at(s, samples_by_size[s], colvals,
+                                           p, gamma, offsets_by_size[s])
+        inputs_at[s] = at
+
+    return fri.fri_check_queries(proof.fri_proof, alphas, queries,
+                                 inputs_at, list(plan.groups), config.fri)
