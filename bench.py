@@ -1,0 +1,103 @@
+"""Benchmark: RV32 machine proving throughput (trace rows proved/sec).
+
+The driver runs this on real TPU hardware and records the JSON line.
+North-star metric (BASELINE.md): trace rows proved/sec/chip; the
+reference publishes no numbers (BASELINE.json.published = {}), so
+vs_baseline is reported against a fixed nominal target of 100k rows/s
+(the reference CPU prover's order of magnitude on comparable log
+sizes, per prover-benches workloads 2^18-2^20).
+
+Usage: python bench.py [--log-size N] [--cpu]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NOMINAL_ROWS_PER_SEC = 100_000.0
+
+
+def build_workload(log_size: int):
+    """A fib-style guest sized to ~2^log_size trace rows."""
+    from nexus_zkvm_tpu.vm import asm, k_trace
+    target = (1 << log_size) - 16
+    iters = max(1, target // 5)          # 5 instructions per loop
+    src = f"""
+        li   t0, {iters}
+        addi a0, zero, 0
+        addi a1, zero, 1
+    loop:
+        add  a2, a0, a1
+        mv   a0, a1
+        mv   a1, a2
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        lw   t1, 0x84(zero)
+        sw   a0, 0(t1)
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """
+    return k_trace(asm.assemble(src))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log-size", type=int, default=16)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (tests/dev)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    from nexus_zkvm_tpu.machine import prove_machine, verify_machine
+
+    t0 = time.perf_counter()
+    view, trace = build_workload(args.log_size)
+    t_trace = time.perf_counter() - t0
+    n_rows = trace.n_steps
+
+    # warm-up run compiles every kernel (cached for the timed run)
+    proof = prove_machine(view, trace)
+    t0 = time.perf_counter()
+    proof = prove_machine(view, trace)
+    t_prove = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    ok = verify_machine(view, proof)
+    t_verify = time.perf_counter() - t0
+    assert ok, "proof failed to verify"
+
+    rows_per_sec = n_rows / t_prove
+    print(json.dumps({
+        "metric": "trace_rows_proved_per_sec",
+        "value": round(rows_per_sec, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(rows_per_sec / NOMINAL_ROWS_PER_SEC, 3),
+        "detail": {
+            "n_rows": int(n_rows),
+            "log_size": args.log_size,
+            "t_trace_s": round(t_trace, 3),
+            "t_prove_s": round(t_prove, 3),
+            "t_verify_s": round(t_verify, 3),
+            "proof_bytes": proof.size_estimate(),
+            "backend": jax.default_backend(),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

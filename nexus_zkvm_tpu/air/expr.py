@@ -64,7 +64,7 @@ class _JnpBackend:
 
     @staticmethod
     def qconst(x):
-        return jnp.asarray(np.asarray(x, np.uint32))
+        return jnp.asarray(x).astype(jnp.uint32)
 
 
 class _NpBackend:

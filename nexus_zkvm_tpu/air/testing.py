@@ -1,0 +1,112 @@
+"""Constraint-satisfaction assertion harness (no FRI, no commitments).
+
+Counterpart of the reference's `assert_chip` / stwo
+`assert_constraints_on_polys`
+(`/root/reference/prover/src/test_utils.rs:18-70`): evaluates every
+constraint of a component set directly on the trace domain (offsets are
+row rolls) with dummy lookup randomness, and checks that
+
+* each constraint is identically zero on the trace rows, and
+* the LogUp claimed sums cancel across components.
+
+This runs in milliseconds on numpy/jnp arrays and is the first line of
+defense for chip development; the full STARK pipeline is exercised
+separately by the e2e tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import field as F
+from .component import (GenContext, _finalize_logup, generate_interaction,
+                        preprocessed_is_first)
+from .expr import Felt, JNP
+from .lookups import LookupElements
+
+__all__ = ["assert_constraints", "ConstraintViolation"]
+
+
+class ConstraintViolation(AssertionError):
+    pass
+
+
+class _AssertCtx(GenContext):
+    """GenContext + interaction columns + recorded constraint arrays."""
+    accumulates = False
+
+    def __init__(self, main_cols, pre_cols, inter_cols, relations,
+                 claimed, log_size):
+        super().__init__(main_cols, pre_cols, relations, log_size)
+        self._inter = [jnp.asarray(c, jnp.uint32) for c in inter_cols]
+        self._claimed = np.asarray(claimed, np.uint64)
+        self.violations = []
+        self._k = 0
+
+    def inter(self, b: int, off: int = 0) -> Felt:
+        c = self._inter[b]
+        if off:
+            c = jnp.roll(c, -off, axis=0)
+        return Felt(c, "qm31", JNP)
+
+    def constraint(self, f: Felt):
+        self._k += 1
+        self.n_constraints += 1
+        v = np.asarray(f.as_qm31().v, np.uint64) % np.uint64(F.P)
+        bad = np.nonzero(v.reshape(v.shape[0], -1).any(axis=1))[0]
+        if len(bad):
+            self.violations.append((self._k - 1, bad[:8].tolist()))
+
+
+def _dummy_relations(infos):
+    widths = {}
+    for info in infos:
+        for name, w in info.relation_widths.items():
+            widths[name] = max(widths.get(name, 0), w)
+    rng = np.random.default_rng(12345)
+
+    def felt():
+        return rng.integers(1, F.P, 4).astype(np.uint64)
+
+    out = {}
+    for name in sorted(widths):
+        pows = [F.np_qm31(np.uint64(1))]
+        alpha = felt()
+        for _ in range(widths[name] - 1):
+            pows.append(F.np_qm31_mul(pows[-1], alpha))
+        out[name] = LookupElements(name=name, width=widths[name],
+                                   z=felt(),
+                                   alpha_pows=np.stack(pows, axis=0))
+    return out
+
+
+def assert_constraints(components, log_sizes, traces) -> None:
+    """Raises ConstraintViolation with per-constraint detail on failure."""
+    from .component import component_info
+    infos = [component_info(c) for c in components]
+    relations = _dummy_relations(infos)
+
+    total = np.zeros(4, np.uint64)
+    failures = []
+    for ci, comp in enumerate(components):
+        n = log_sizes[ci]
+        pre = [np.asarray(arr, np.uint32)
+               for _, arr in comp.preprocessed(n)]
+        inter, claimed = generate_interaction(comp, traces[ci], pre,
+                                              relations, n)
+        total = F.np_qm31_add(total, claimed)
+        ctx = _AssertCtx(traces[ci], pre, inter, relations, claimed, n)
+        comp.evaluate(ctx)
+        _finalize_logup(ctx)
+        if ctx.violations:
+            failures.append((comp.name, ctx.violations))
+    if failures:
+        msg = "\n".join(
+            f"component {name}: constraints {[k for k, _ in viols]} "
+            f"violated (first rows: {viols[0][1]})"
+            for name, viols in failures)
+        raise ConstraintViolation(msg)
+    if total.any():
+        raise ConstraintViolation(
+            f"LogUp claimed sums do not cancel: {total}")

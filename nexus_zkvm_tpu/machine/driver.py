@@ -1,0 +1,304 @@
+"""Machine prove/verify driver: (View, Trace) -> proof -> check.
+
+Counterpart of the reference's `prove` / `verify` facade
+(`/root/reference/prover/src/lib.rs:26-47`) over
+`Machine::prove_with_extensions` (`prover/src/machine.rs:130-297`).
+
+The verifier rebuilds every component from the public View (program
+table, memory image, output expectation, lookup tables are all
+preprocessed and therefore verifier-recomputed) and enforces the
+canonical per-component sizes, so a proof only verifies for the exact
+program + public IO claimed.  The transcript is additionally seeded
+with a Blake2s digest of the View (the reference mixes the associated
+data + log-sizes, `machine.rs:197-206`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..channel import Blake2sChannel
+from ..prover import PcsConfig, prove, verify
+from ..prover.stark import Proof
+from .cpu import (CpuComponent, ProgramTable, CPU_SCHEMA, fill_cpu,
+                  decode_program_table)
+from .mext import MExtComponent, MEXT_SCHEMA, M_OPS, fill_mext
+from .memside import (RegFile, RamTouched, MemInit, OutputCheck,
+                      TS_CHECK, REG_SCHEMA, RAM_SCHEMA, OUT_SCHEMA,
+                      fill_reg_file, fill_ram_touched)
+from .tables import RangeTable, BitOpTable, ShiftTable
+
+__all__ = ["prove_machine", "verify_machine", "MachineProof",
+           "build_components"]
+
+
+@dataclass
+class MachineProof:
+    stark: Proof
+
+    def size_estimate(self) -> int:
+        return self.stark.size_estimate()
+
+
+def _clog2(n: int, lo: int = 3) -> int:
+    k = max(1, int(n) - 1).bit_length()
+    return max(k, lo)
+
+
+def _static_window(view):
+    """Writable static-RAM address window from the public image:
+    initial-memory entries above the program text but below the input
+    region (RW .data/.bss of an ELF guest)."""
+    lay = view.memory_layout
+    addrs = [a for a, _ in view.initial_memory
+             if lay.program_start <= a < lay.public_input_start]
+    prog_end = max((pc + 4 for pc, _ in view.program_info.program),
+                   default=lay.program_start)
+    static = [a for a in addrs if a >= prog_end]
+    if not static:
+        return None, None
+    return min(static) & ~3, lay.program_end
+
+
+def build_components(view):
+    lay = view.memory_layout
+    assert lay.end < (1 << 30), "memory layout exceeds M31-safe range"
+    st_lo, st_hi = _static_window(view)
+    cpu = CpuComponent(entry=view.program_info.initial_pc,
+                       exit_addr=lay.exit_code,
+                       heap_start=lay.heap_start,
+                       stack_top=lay.stack_top,
+                       static_lo=st_lo, static_hi=st_hi)
+    prog = ProgramTable(decode_program_table(view))
+    regf = RegFile(stack_top=lay.stack_top)
+    ram = RamTouched(heap_start=lay.heap_start)
+    image_addrs, image_vals = _full_image(view)
+    meminit = MemInit(image_addrs, image_vals)
+    outchk = OutputCheck(view)
+    tables = [RangeTable(8), RangeTable(7), RangeTable(6), RangeTable(3),
+              BitOpTable("and"), BitOpTable("xor"),
+              ShiftTable("l"), ShiftTable("r")]
+    mext = MExtComponent()
+    comps = [cpu, prog, regf, ram, meminit, outchk, mext] + tables
+    fixed_sizes = {
+        "program": _clog2(len(view.program_info.program)),
+        "regfile": 5,
+        "mem_init": _clog2(len(image_addrs)),
+        "output_check": _clog2(len(outchk.addrs)),
+    }
+    for t in tables:
+        fixed_sizes[t.name] = t.log_rows
+    return comps, fixed_sizes, (st_lo, st_hi)
+
+
+def _full_image(view):
+    """Every word in [0, heap_start) with its public initial value."""
+    lay = view.memory_layout
+    data = np.zeros(lay.heap_start, np.uint8)
+    for pc, w in view.program_info.program:
+        data[pc:pc + 4] = np.frombuffer(
+            int(w).to_bytes(4, "little"), np.uint8)
+    for a, b in view.initial_memory:
+        data[a] = b
+    vals = data.view("<u4").astype(np.uint32)
+    addrs = np.arange(len(vals), dtype=np.uint32) * 4
+    return addrs, vals
+
+
+def _mix_view(channel, view):
+    """Bind the transcript to the public claim."""
+    import hashlib
+    lay = view.memory_layout
+    h = hashlib.blake2s()
+    h.update(np.asarray([view.program_info.initial_pc, lay.public_input,
+                         lay.exit_code, lay.public_output, lay.heap,
+                         lay.stack_bottom, lay.stack_top, lay.end],
+                        "<u4").tobytes())
+    for pc, w in view.program_info.program:
+        h.update(np.asarray([pc, w], "<u4").tobytes())
+    for a, b in view.initial_memory:
+        h.update(np.asarray([a, b], "<u4").tobytes())
+    h.update(len(view.public_input).to_bytes(4, "little"))
+    h.update(view.public_input)
+    h.update(int(view.exit_code & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(view.public_output)
+    h.update(view.associated_data)
+    channel.mix_u32s(np.frombuffer(h.digest(), "<u4").astype(np.uint32))
+
+
+def _table_mults(components, fixed_sizes, emit_sets):
+    """Main (multiplicity) columns for the lookup tables."""
+    from .tables import count_multiplicity, _Table
+    out = {}
+    for comp in components:
+        if not isinstance(comp, _Table):
+            continue
+        idx = [e[comp.relation] for e in emit_sets if comp.relation in e]
+        idx = np.concatenate(idx) if idx else np.zeros(0, np.int64)
+        out[comp.name] = count_multiplicity(
+            comp, idx, fixed_sizes[comp.name])
+    return out
+
+
+def _ram_data(trace, view):
+    """Touched-word table data + OutputCheck prev timestamps."""
+    lay = view.memory_layout
+    ms = trace.machine_state
+    ram_final = dict(ms["ram_final"])          # word -> (val, last_ts)
+    s = trace.steps
+    mem_rows = s["mem_size"] > 0
+    words = (s["mem_addr"][mem_rows] & ~np.uint32(3)).astype(np.int64)
+    prev_vals = s["mem_prev_val"][mem_rows]
+    # first access per word gives the initial value
+    order = np.lexsort((s["clk"][mem_rows], words))
+    w_sorted = words[order]
+    first = np.ones(len(w_sorted), bool)
+    first[1:] = w_sorted[1:] != w_sorted[:-1]
+    init_by_word = {int(w): int(v) for w, v in
+                    zip(w_sorted[first], prev_vals[order][first])}
+
+    out_words = list(range(lay.exit_code, lay.public_output_end, 4))
+    touched = sorted(set(init_by_word) | set(out_words))
+    image_addrs, image_vals = _full_image(view)
+    image = {int(a): int(v) for a, v in zip(image_addrs, image_vals)}
+
+    addrs, inits, finals, fts = [], [], [], []
+    oc_prev_ts = {}
+    for w in touched:
+        init = init_by_word.get(w)
+        if init is None:                     # untouched output word
+            init = image.get(w, 0)
+        fin, lts = ram_final.get(w, (init, 0))
+        if lay.exit_code <= w < lay.public_output_end:
+            oc_prev_ts[w] = lts
+            lts = TS_CHECK                   # OutputCheck virtual read
+        addrs.append(w)
+        inits.append(init)
+        finals.append(fin)
+        fts.append(lts)
+    return (np.asarray(addrs, np.int64), np.asarray(inits, np.uint64),
+            np.asarray(finals, np.uint64), np.asarray(fts, np.uint64),
+            oc_prev_ts)
+
+
+def _memside_emits(ram_fill, out_fill):
+    """Range-check emissions of RamTouched/OutputCheck (match their
+    evaluate() fractions exactly)."""
+    e256, e64 = [], []
+    for name in ("d", "zd"):
+        for i in range(3):
+            e256.append(ram_fill[name][:, i].astype(np.int64))
+        e64.append(ram_fill[name][:, 3].astype(np.int64))
+    for i in range(3):
+        e256.append(out_fill["tsd"][:, i].astype(np.int64))
+    e64.append(out_fill["tsd"][:, 3].astype(np.int64))
+    return {"r256": np.concatenate(e256), "r64": np.concatenate(e64)}
+
+
+def build_machine_traces(view, trace):
+    """(View, Trace) -> (components, log_sizes, main column lists).
+
+    The complete vectorized fill for every component — shared by the
+    prover and the constraint-assertion tests.
+    """
+    comps, fixed_sizes, (st_lo, st_hi) = build_components(view)
+    by_name = {c.name: c for c in comps}
+    lay = view.memory_layout
+
+    n_steps = int(len(trace.steps["clk"]))
+    cpu_log = _clog2(n_steps, lo=4)
+    cpu_fill, cpu_emits = fill_cpu(trace, view, cpu_log, st_lo, st_hi)
+
+    addrs, inits, finals, fts, oc_prev = _ram_data(trace, view)
+    # +1 guarantees a padding row so the sorted-address next-row
+    # constraint does not wrap onto row 0
+    ram_log = _clog2(len(addrs) + 1)
+    ram_fill = fill_ram_touched(addrs, inits, finals, fts,
+                                lay.heap_start, ram_log)
+    out_fill = by_name["output_check"].fill(
+        oc_prev, fixed_sizes["output_check"])
+    ms = trace.machine_state
+    reg_fill = fill_reg_file(ms["final_regs"], ms["final_reg_ts"])
+
+    n_m = int(np.isin(trace.steps["opcode"],
+                      [int(o) for o in M_OPS]).sum())
+    mext_log = _clog2(n_m)
+    mext_fill, mext_emits = fill_mext(trace, mext_log)
+
+    # program fetch multiplicities
+    fetch_rows = ((trace.steps["pc"].astype(np.int64)
+                   - lay.program_start) // 4)
+    prog_mult = np.bincount(fetch_rows,
+                            minlength=1 << fixed_sizes["program"]
+                            ).astype(np.uint32)
+    assert len(prog_mult) == 1 << fixed_sizes["program"]
+
+    # mem-init multiplicities: image rows consumed by touched g-rows
+    g_addrs = addrs[np.asarray(ram_fill["g"][:len(addrs)], bool)]
+    mi_mult = np.zeros(1 << fixed_sizes["mem_init"], np.uint32)
+    mi_mult[g_addrs // 4] = 1
+
+    mults = _table_mults(comps, fixed_sizes,
+                         [cpu_emits, mext_emits,
+                          _memside_emits(ram_fill, out_fill)])
+
+    log_sizes, traces = [], []
+    for comp in comps:
+        if comp.name == "cpu":
+            log_sizes.append(cpu_log)
+            traces.append(CPU_SCHEMA.to_columns(cpu_fill))
+        elif comp.name == "program":
+            log_sizes.append(fixed_sizes["program"])
+            traces.append([prog_mult])
+        elif comp.name == "regfile":
+            log_sizes.append(5)
+            traces.append(REG_SCHEMA.to_columns(reg_fill))
+        elif comp.name == "ram_touched":
+            log_sizes.append(ram_log)
+            traces.append(RAM_SCHEMA.to_columns(ram_fill))
+        elif comp.name == "mem_init":
+            log_sizes.append(fixed_sizes["mem_init"])
+            traces.append([mi_mult])
+        elif comp.name == "output_check":
+            log_sizes.append(fixed_sizes["output_check"])
+            traces.append(OUT_SCHEMA.to_columns(out_fill))
+        elif comp.name == "mext":
+            log_sizes.append(mext_log)
+            traces.append(MEXT_SCHEMA.to_columns(mext_fill))
+        else:
+            log_sizes.append(fixed_sizes[comp.name])
+            traces.append([mults[comp.name]])
+    return comps, log_sizes, traces
+
+
+def prove_machine(view, trace, config: PcsConfig = PcsConfig()
+                  ) -> MachineProof:
+    comps, log_sizes, traces = build_machine_traces(view, trace)
+    channel = Blake2sChannel()
+    _mix_view(channel, view)
+    proof = prove(comps, log_sizes, traces, channel, config)
+    return MachineProof(stark=proof)
+
+
+def verify_machine(view, proof: MachineProof,
+                   config: PcsConfig = PcsConfig()) -> bool:
+    try:
+        comps, fixed_sizes, _ = build_components(view)
+    except (AssertionError, ValueError):
+        return False
+    log_sizes = list(proof.stark.log_sizes)
+    if len(log_sizes) != len(comps):
+        return False
+    # canonical sizes for all view-determined components; the CPU and
+    # RamTouched sizes are the prover's (content-dependent), bounded
+    for i, comp in enumerate(comps):
+        want = fixed_sizes.get(comp.name)
+        if want is not None and log_sizes[i] != want:
+            return False
+        if log_sizes[i] > 28:
+            return False
+    channel = Blake2sChannel()
+    _mix_view(channel, view)
+    return verify(comps, proof.stark, channel, config)

@@ -24,7 +24,10 @@ Golden-tested against ``hashlib.blake2s``.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 _IV = np.array([
@@ -67,52 +70,69 @@ def batch_compress(h, m, t: int, last: bool):
     h: (..., 8) uint32 state; m: (..., 16) uint32 message block;
     t: byte counter AFTER this block (static int); last: final-block flag.
     Returns the new (..., 8) state.
+
+    The 10 rounds run under ``lax.fori_loop`` with the message words
+    pre-permuted per round — the traced graph stays ~100 ops (one round
+    body), keeping XLA compile time flat no matter how many distinct
+    batch shapes the Merkle tree produces.
     """
     h = jnp.asarray(h, jnp.uint32)
     m = jnp.asarray(m, jnp.uint32)
     iv = jnp.asarray(_IV)
-    v = [h[..., i] for i in range(8)] + [
-        jnp.broadcast_to(iv[i], h[..., 0].shape) for i in range(8)
-    ]
-    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
-    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    v = jnp.concatenate(
+        [h, jnp.broadcast_to(iv, h.shape[:-1] + (8,))], axis=-1)
+    v = v.at[..., 12].set(v[..., 12] ^ jnp.uint32(t & 0xFFFFFFFF))
+    v = v.at[..., 13].set(v[..., 13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF))
     if last:
-        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
+        v = v.at[..., 14].set(v[..., 14] ^ jnp.uint32(0xFFFFFFFF))
 
-    ms = [m[..., i] for i in range(16)]
+    # (10, ..., 16): message words in per-round sigma order
+    mperm = m[..., jnp.asarray(_SIGMA)]          # (..., 10, 16)
+    mperm = jnp.moveaxis(mperm, -2, 0)
 
-    def g(a, b, c, d, x, y):
+    # column/diagonal index patterns of the 8 G applications (static)
+    rows = np.array(
+        [[0, 4, 8, 12], [1, 5, 9, 13], [2, 6, 10, 14], [3, 7, 11, 15],
+         [0, 5, 10, 15], [1, 6, 11, 12], [2, 7, 8, 13], [3, 4, 9, 14]],
+        np.int32)
+
+    def g_half(a, b, c, d, x, rot_d, rot_b):
         a = a + b + x
-        d = _ror(d ^ a, 16)
+        d = _ror(d ^ a, rot_d)
         c = c + d
-        b = _ror(b ^ c, 12)
-        a = a + b + y
-        d = _ror(d ^ a, 8)
-        c = c + d
-        b = _ror(b ^ c, 7)
+        b = _ror(b ^ c, rot_b)
         return a, b, c, d
 
-    for r in range(10):
-        s = _SIGMA[r]
-        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], ms[s[0]], ms[s[1]])
-        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], ms[s[2]], ms[s[3]])
-        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], ms[s[4]], ms[s[5]])
-        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], ms[s[6]], ms[s[7]])
-        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], ms[s[8]], ms[s[9]])
-        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], ms[s[10]], ms[s[11]])
-        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], ms[s[12]], ms[s[13]])
-        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], ms[s[14]], ms[s[15]])
+    def round_fn(r, v):
+        ms = mperm[r]
+        for gi in range(8):
+            ia, ib, ic, id_ = (int(rows[gi, 0]), int(rows[gi, 1]),
+                               int(rows[gi, 2]), int(rows[gi, 3]))
+            a, b, c, d = (v[..., ia], v[..., ib], v[..., ic], v[..., id_])
+            a, b, c, d = g_half(a, b, c, d, ms[..., 2 * gi], 16, 12)
+            a, b, c, d = g_half(a, b, c, d, ms[..., 2 * gi + 1], 8, 7)
+            for idx, val in zip((ia, ib, ic, id_), (a, b, c, d)):
+                v = v.at[..., idx].set(val)
+        return v
 
-    out = [h[..., i] ^ v[i] ^ v[i + 8] for i in range(8)]
-    return jnp.stack(out, axis=-1)
+    import jax
+    # round 0 unrolled: under shard_map the carry must already be
+    # "varying" over the mesh axis (it mixes the sharded message)
+    v = round_fn(0, v)
+    v = jax.lax.fori_loop(1, 10, round_fn, v)
+    return h ^ v[..., :8] ^ v[..., 8:]
 
 
+@functools.partial(jax.jit)
 def batch_blake2s_words(msgs):
     """Blake2s-256 of B equal-length word-aligned messages.
 
     msgs: (..., W) uint32 — each row is a message of exactly 4*W bytes,
     little-endian words (Blake2s native order). Returns (..., 8) uint32
     digests. W is static; all messages in a batch share it.
+
+    Jitted: the ~800-op unrolled compression compiles once per input
+    shape instead of op-by-op in eager mode.
     """
     msgs = jnp.asarray(msgs, jnp.uint32)
     w = msgs.shape[-1]

@@ -31,7 +31,10 @@ M31-linear), so only base-field transforms exist.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .field import P, m31_add, m31_sub, m31_mul
@@ -46,6 +49,7 @@ def _stage_split(v, j: int, n: int):
     return v.reshape(v.shape[:-1] + (1 << (j - 1), 2, half))
 
 
+@functools.partial(jax.jit, static_argnames=("include_scale",))
 def interpolate(evals, include_scale: bool = True):
     """Evaluations on domain(log N) -> bit-reversed FFT coefficients.
 
@@ -79,6 +83,7 @@ def interpolate(evals, include_scale: bool = True):
     return v
 
 
+@functools.partial(jax.jit, static_argnames=("log_size",))
 def evaluate(coeffs, log_size: int | None = None):
     """Bit-reversed FFT coefficients -> evaluations on domain(log_size).
 

@@ -1,0 +1,18 @@
+"""Device-mesh sharding for the prover (ICI collectives, pjit/shard_map).
+
+The reference scales with 16-lane SIMD + rayon threads inside one
+process (`/root/reference/Cargo.toml:43-52`, SURVEY.md §2.6); the
+TPU-native equivalents here are:
+
+* column-parallel circle-FFT/LDE — each device transforms its slice of
+  the (columns, rows) matrix locally (no ICI traffic),
+* row-sharded Merkle hashing — leaves resharded across devices via
+  ``all_to_all``-style gathers, shard-local subtrees, frontier gathered
+  and folded (`psum`-free: hashing is not associative),
+* LogUp / constraint reductions via ``psum`` over the mesh axis.
+"""
+
+from .mesh import make_mesh, local_mesh
+from .commit import sharded_commit_columns
+
+__all__ = ["make_mesh", "local_mesh", "sharded_commit_columns"]

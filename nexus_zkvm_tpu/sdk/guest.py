@@ -1,0 +1,46 @@
+"""Guest programs: ELF binaries, assembly, or raw instruction words.
+
+Counterpart of the reference's guest-compilation entry points
+(`/root/reference/sdk/src/compile/mod.rs:27-75` + `ElfFile` loading at
+`vm/src/elf/loader.rs:100-124`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..vm import asm as _asm
+from ..vm.elf import ElfFile
+from ..vm.isa import ELF_TEXT_START
+
+__all__ = ["Guest"]
+
+
+@dataclass
+class Guest:
+    program_words: list
+    entry: int = ELF_TEXT_START
+    rom_image: dict = field(default_factory=dict)
+    ram_image: dict = field(default_factory=dict)
+    metadata: dict = field(default_factory=dict)
+
+    @staticmethod
+    def from_asm(source: str) -> "Guest":
+        """Assemble RV32IM source (see `vm.asm` for the dialect)."""
+        return Guest(program_words=_asm.assemble(source))
+
+    @staticmethod
+    def from_words(words) -> "Guest":
+        return Guest(program_words=[int(w) & 0xFFFFFFFF for w in words])
+
+    @staticmethod
+    def from_elf(path_or_bytes) -> "Guest":
+        if isinstance(path_or_bytes, (bytes, bytearray)):
+            elf = ElfFile.from_bytes(bytes(path_or_bytes))
+        else:
+            elf = ElfFile.from_path(str(path_or_bytes))
+        return Guest(program_words=list(elf.instructions),
+                     entry=elf.entry,
+                     rom_image=dict(elf.rom_image),
+                     ram_image=dict(elf.ram_image),
+                     metadata=dict(elf.nexus_metadata))

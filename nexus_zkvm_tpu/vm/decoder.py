@@ -69,7 +69,11 @@ def decode_instruction(word: int) -> Instruction:
         if f3 == 0:
             body = word >> 7
             if body == 0:
-                return Instruction(Opcode.ECALL, InstrType.SYS, word=word)
+                # ecall reads the syscall number from a7 and its operand
+                # from a0 — modelled as rs1=x17, rs2=x10 so the register
+                # access slots line up with the machine AIR
+                return Instruction(Opcode.ECALL, InstrType.SYS, rs1=17,
+                                   rs2=10, word=word)
             if body == (1 << 13):
                 return Instruction(Opcode.EBREAK, InstrType.SYS, word=word)
         return Instruction(Opcode.UNIMPL, InstrType.UNIMPL, word=word)

@@ -78,7 +78,8 @@ _STEP_FIELDS = [
     ("mem_size", np.uint8),     # 0 = no access, else 1/2/4
     ("mem_store", np.uint8),    # 1 = store
     ("mem_val", np.uint32),     # value loaded/stored (zero-extended)
-    ("mem_prev_val", np.uint32),
+    ("mem_prev_val", np.uint32),  # aligned word before the access
+    ("mem_new", np.uint32),       # aligned word after the access
     ("mem_prev_ts", np.uint32),
 ]
 
@@ -132,6 +133,7 @@ class _EmulatorBase:
         self.reg_last_ts = np.zeros(32, np.uint64)
         self.basic_block_cache: dict = {}
         self.recorder: TraceRecorder | None = None
+        self._pending_mem = None
 
     # -- memory interface provided by subclasses -----------------------
     def fetch_word(self, addr: int) -> int:
@@ -229,8 +231,9 @@ class _EmulatorBase:
                 a_val = (pc + c_val) & M32
             wrote = True
         elif t == InstrType.SYS:
-            c_val = 0
+            c_val = int(regs[rs2])
             if opc == Opcode.ECALL:
+                self._pending_mem = None
                 try:
                     wrote, a_val, rd = self.execute_syscall()
                 except VMExited as e:
@@ -239,6 +242,7 @@ class _EmulatorBase:
                     exited = e
                     next_pc = pc
                     wrote, a_val, rd = False, 0, 0
+                mem = self._pending_mem
             # EBREAK: nop
         elif t == InstrType.CUSTOM:
             c_val = int(regs[rs2])
@@ -247,31 +251,52 @@ class _EmulatorBase:
             raise VMError(f"unimplemented instruction at {pc:#x}: "
                           f"{ins.word:#010x}")
 
-        # register write-back + memory-check metadata
+        # register write-back + memory-check metadata.  Only the access
+        # slots the machine AIR emits bump the last-access timestamps:
+        # slot1 (rs1) always, slot2 (rs2) for R/S/B/ECALL/CUSTOM rows,
+        # slot3 (rd) when the op class writes.
+        uses_rs2 = t in (InstrType.R, InstrType.S, InstrType.B,
+                         InstrType.CUSTOM) or opc == Opcode.ECALL
         ts1_prev = int(self.reg_last_ts[rs1])
         self.reg_last_ts[rs1] = 3 * clk + 1
-        ts2_prev = int(self.reg_last_ts[rs2])
-        self.reg_last_ts[rs2] = 3 * clk + 2
-        a_prev = int(regs[rd])
-        ts3_prev = int(self.reg_last_ts[rd])
-        self.reg_last_ts[rd] = 3 * clk + 3
-        if wrote and rd != 0:
-            regs[rd] = a_val
-        rd_written = 1 if (wrote and rd != 0) else 0
+        ts2_prev = 0
+        if uses_rs2:
+            ts2_prev = int(self.reg_last_ts[rs2])
+            self.reg_last_ts[rs2] = 3 * clk + 2
+        a_prev, ts3_prev = 0, 0
+        if wrote:
+            a_prev = int(regs[rd])
+            ts3_prev = int(self.reg_last_ts[rd])
+            self.reg_last_ts[rd] = 3 * clk + 3
+            if rd != 0:
+                regs[rd] = a_val
+        rd_written = 1 if wrote else 0
 
         if self.recorder is not None:
-            m_addr, m_size, m_store, m_val, m_pv, m_pt = \
-                mem if mem is not None else (0, 0, 0, 0, 0, 0)
+            if mem is not None:
+                m_addr, m_size, m_store, m_val, m_pv, m_pt = mem
+                ofs = m_addr & 3
+                w = m_addr & ~3
+                if m_store:
+                    lane_mask = ((1 << (8 * m_size)) - 1) << (8 * ofs)
+                    m_new = (m_pv & ~lane_mask & M32) \
+                        | ((m_val << (8 * ofs)) & lane_mask)
+                else:
+                    m_new = m_pv
+            else:
+                m_addr = m_size = m_store = m_val = m_pv = m_pt = 0
+                m_new = 0
             self.recorder.append(
                 clk=clk, pc=pc, next_pc=next_pc, word=ins.word,
                 opcode=int(opc) if int(opc) < 256 else 255,
                 rd=rd, rs1=rs1, rs2=rs2, imm=ins.imm,
-                a_val=a_val if rd_written else a_prev if rd == 0 else a_val,
+                a_val=a_val if wrote else 0,
                 b_val=b_val, c_val=c_val, a_prev=a_prev,
                 ts1_prev=ts1_prev, ts2_prev=ts2_prev, ts3_prev=ts3_prev,
                 rd_written=rd_written,
                 mem_addr=m_addr, mem_size=m_size, mem_store=m_store,
-                mem_val=m_val, mem_prev_val=m_pv, mem_prev_ts=m_pt)
+                mem_val=m_val, mem_prev_val=m_pv, mem_new=m_new,
+                mem_prev_ts=m_pt)
 
         self.pc = next_pc
         self.global_clock += 1
@@ -320,6 +345,8 @@ class _EmulatorBase:
             v = self.private_input.popleft() if self.private_input else M32
             return True, v, 10
         if code == SyscallCode.CYCLE_COUNT:
+            # never writes a register (uniform behavior keeps the AIR's
+            # slot-3 multiplicity a pure function of the syscall flag)
             label = self.mem_read_bytes(a0, a1).decode("utf-8", "replace")
             marker, _, fn = label.partition("#")
             ent = self.cycle_tracker.get(fn)
@@ -328,13 +355,11 @@ class _EmulatorBase:
                     self.cycle_tracker[fn] = [self.global_clock, 1]
                 else:
                     ent[1] += 1
-                return False, 0, 10
-            if marker == "$" and ent is not None:
+            elif marker == "$" and ent is not None:
                 ent[1] -= 1
                 if ent[1] == 0:
                     ent[0] = self.global_clock - ent[0]
-                return False, 0, 10
-            return True, M32, 10
+            return False, 0, 10
         if code == SyscallCode.OVERWRITE_STACK_POINTER:
             return True, self.stack_top(), 2
         if code == SyscallCode.OVERWRITE_HEAP_POINTER:
@@ -660,10 +685,27 @@ class LinearEmulator(_EmulatorBase):
     def execute_syscall(self):
         code = int(self.regs[17])
         if code == SyscallCode.EXIT:
-            a0 = int(self.regs[10])
-            self.mem.fill(self.layout.exit_code,
-                          (a0 & M32).to_bytes(4, "little"))
+            # the halt step stores the exit code as a regular recorded
+            # memory access so the AIR's RAM chain covers it
+            a0 = int(self.regs[10]) & M32
+            addr = self.layout.exit_code
+            prev_val, prev_ts = self.mem_prev(addr, 4)
+            self.mem.write(addr, 4, a0)
+            self._pending_mem = (addr, 4, 1, a0, prev_val, prev_ts)
         return super().execute_syscall()
+
+    def machine_state(self) -> dict:
+        """Final register/RAM state for the machine AIR's boundary
+        components (FinalReg / RamInitFinal counterpart data)."""
+        words = {}
+        for w, ts in self.ram_last_ts.items():
+            val = int.from_bytes(self.mem.data[w:w + 4], "little")
+            words[int(w)] = (val, int(ts))
+        return {
+            "final_regs": self.regs.copy(),
+            "final_reg_ts": self.reg_last_ts.copy(),
+            "ram_final": words,
+        }
 
     # -- finalize: the public IO claim --------------------------------
     def finalize(self):

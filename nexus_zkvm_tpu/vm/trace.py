@@ -56,6 +56,7 @@ class View:
 class Trace:
     steps: dict                 # field -> np array, one entry per step
     k: int = 1
+    machine_state: dict | None = None   # see LinearEmulator.machine_state
 
     @property
     def n_steps(self) -> int:
@@ -103,7 +104,8 @@ def k_trace(program_words, entry: int | None = None,
     except VMExited:
         pass
     view = lin.finalize()
-    return view, Trace(steps=lin.recorder.arrays(), k=k)
+    return view, Trace(steps=lin.recorder.arrays(), k=k,
+                       machine_state=lin.machine_state())
 
 
 def bb_trace(program_words, **kw):

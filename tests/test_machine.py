@@ -1,0 +1,314 @@
+"""Machine AIR tests.
+
+Follows the reference's chip-test strategy
+(`/root/reference/prover/src/chips/instructions/i/add.rs:214-248`):
+synthetic programs -> trace -> constraint-satisfaction assertion
+(fast, no FRI), plus one full prove/verify round-trip and negative
+(soundness) cases.
+"""
+
+import numpy as np
+import pytest
+
+from nexus_zkvm_tpu.air.testing import assert_constraints, \
+    ConstraintViolation
+from nexus_zkvm_tpu.machine.driver import (
+    build_machine_traces, prove_machine, verify_machine,
+)
+from nexus_zkvm_tpu.machine.cpu import CPU_SCHEMA
+from nexus_zkvm_tpu.prover import PcsConfig
+from nexus_zkvm_tpu.ops.fri import FriConfig
+from nexus_zkvm_tpu.vm import asm, k_trace
+
+CFG = PcsConfig(pow_bits=2, fri=FriConfig(log_blowup=1, log_last_layer=0,
+                                          n_queries=8))
+
+EXIT = """
+    addi a0, zero, 0
+    addi a7, zero, 0x201
+    ecall
+"""
+
+
+machine_traces = build_machine_traces
+
+
+def check(src, **kw):
+    view, trace = k_trace(asm.assemble(src), **kw)
+    comps, log_sizes, traces = machine_traces(view, trace)
+    assert_constraints(comps, log_sizes, traces)
+    return view, trace
+
+
+# ---------------------------------------------------------------------------
+# per-instruction-class constraint satisfaction
+# ---------------------------------------------------------------------------
+
+def test_alu_r_constraints():
+    check("""
+        li t0, 0x12345678
+        li t1, 0xfedcba98
+        add t2, t0, t1
+        sub t3, t0, t1
+        and t4, t0, t1
+        or  t5, t0, t1
+        xor t6, t0, t1
+        add s2, t1, t1
+        sub s3, t1, t0
+    """ + EXIT)
+
+
+def test_alu_imm_constraints():
+    check("""
+        li t0, 1000
+        addi t1, t0, -999
+        addi t2, t0, 2047
+        andi t3, t0, 0xff
+        ori  t4, t0, 0x0f
+        xori t5, t0, -1
+        slti t6, t0, 1001
+        sltiu s2, t0, 999
+    """ + EXIT)
+
+
+def test_slt_matrix_constraints():
+    check("""
+        li t0, -5
+        li t1, 5
+        slt  t2, t0, t1
+        slt  t3, t1, t0
+        sltu t4, t0, t1
+        sltu t5, t1, t0
+        slt  t6, t0, t0
+        sltu s2, t1, t1
+    """ + EXIT)
+
+
+def test_shift_constraints():
+    check("""
+        li t0, 0x80c01234
+        sll t1, t0, zero
+        slli t2, t0, 1
+        slli t3, t0, 31
+        srli t4, t0, 1
+        srli t5, t0, 31
+        srai t6, t0, 4
+        srai s2, t0, 31
+        li  t1, 13
+        sll s3, t0, t1
+        srl s4, t0, t1
+        sra s5, t0, t1
+        slli s6, t0, 8
+        srli s7, t0, 16
+        srai s8, t0, 24
+    """ + EXIT)
+
+
+def test_branch_constraints():
+    check("""
+        li t0, -3
+        li t1, 7
+        beq t0, t0, l1
+        nop
+    l1: bne t0, t1, l2
+        nop
+    l2: blt t0, t1, l3
+        nop
+    l3: bge t1, t0, l4
+        nop
+    l4: bltu t1, t0, l5     # not taken (unsigned -3 is big)
+        bgeu t0, t1, l5
+        nop
+    l5:
+    """ + EXIT)
+
+
+def test_jump_constraints():
+    check("""
+        jal ra, f
+        j   done
+    f:  ret
+    done:
+    """ + EXIT)
+
+
+def test_lui_auipc_constraints():
+    check("""
+        lui t0, 0xabcde
+        auipc t1, 0x1
+        auipc t2, 0xfffff
+    """ + EXIT)
+
+
+def test_memory_constraints():
+    check("""
+        addi a7, zero, 0x403    # heap pointer
+        ecall
+        mv   t1, a0
+        li   t2, 0x818283f4
+        sw   t2, 0(t1)
+        lb   t3, 3(t1)          # sign-extended 0x81... top byte
+        lbu  t4, 1(t1)
+        lh   t5, 2(t1)
+        lhu  t6, 0(t1)
+        sb   t2, 5(t1)
+        sh   t2, 6(t1)
+        lw   s2, 4(t1)
+        lw   s3, 0x80(zero)     # read the input sentinel (RO region)
+    """ + EXIT)
+
+
+def test_syscall_constraints():
+    view, _ = check("""
+        addi a7, zero, 0x400    # private input
+        ecall
+        mv t0, a0
+        addi a7, zero, 0x402    # stack pointer
+        ecall
+        addi a7, zero, 0x403    # heap pointer
+        ecall
+        addi a7, zero, 0x405    # memory advise
+        ecall
+    """ + EXIT, private_input=bytes([9]))
+    assert view.exit_code == 0
+
+
+def test_output_and_exit_code():
+    view, _ = check("""
+        lw   t0, 0x84(zero)
+        li   t1, 0xcafef00d
+        sw   t1, 0(t0)
+        sw   t1, 4(t0)
+        addi a0, zero, 3
+        addi a7, zero, 0x201
+        ecall
+    """)
+    assert view.exit_code == 3
+
+
+def test_mul_constraints():
+    check("""
+        li t0, 0x12345678
+        li t1, 0xfedcba98
+        mul    t2, t0, t1
+        mulh   t3, t0, t1
+        mulhsu t4, t0, t1
+        mulhu  t5, t0, t1
+        mulh   t6, t1, t1
+        mul    s2, t1, t1
+    """ + EXIT)
+
+
+def test_div_constraints():
+    check("""
+        li t0, 100
+        li t1, 7
+        divu t2, t0, t1
+        remu t3, t0, t1
+        li t4, -100
+        div  t5, t4, t1
+        rem  t6, t4, t1
+        li t1, -7
+        div  s2, t0, t1
+        rem  s3, t0, t1
+        div  s4, t4, t1
+        rem  s5, t4, t1
+    """ + EXIT)
+
+
+def test_div_edge_cases_constraints():
+    check("""
+        li t0, 100
+        div  t1, t0, zero       # div by zero -> -1
+        rem  t2, t0, zero       # -> t0
+        divu t3, t0, zero
+        remu t4, t0, zero
+        li t5, 0x80000000       # -2^31
+        li t6, -1
+        div  s2, t5, t6         # overflow -> -2^31
+        rem  s3, t5, t6         # -> 0
+    """ + EXIT)
+
+
+def test_fib_constraints():
+    check("""
+        addi t0, zero, 12
+        addi a0, zero, 0
+        addi a1, zero, 1
+    loop:
+        add  a2, a0, a1
+        mv   a0, a1
+        mv   a1, a2
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        lw   t1, 0x84(zero)
+        sw   a0, 0(t1)
+    """ + EXIT)
+
+
+# ---------------------------------------------------------------------------
+# tampering is caught by the constraint harness
+# ---------------------------------------------------------------------------
+
+def _tamper(name, delta=1, idx=0):
+    view, trace = k_trace(asm.assemble("""
+        li t0, 41
+        addi t1, t0, 1
+        lw   t2, 0x84(zero)
+        sw   t1, 0(t2)
+    """ + EXIT))
+    comps, log_sizes, traces = machine_traces(view, trace)
+    col = CPU_SCHEMA.slot(name, idx)
+    traces[0][col] = traces[0][col].copy()
+    traces[0][col][0] = (int(traces[0][col][0]) + delta) % ((1 << 31) - 1)
+    with pytest.raises(ConstraintViolation):
+        assert_constraints(comps, log_sizes, traces)
+
+
+def test_tampered_result_caught():
+    _tamper("a", idx=0)
+
+
+def test_tampered_pc_caught():
+    _tamper("npc", idx=0)
+
+
+def test_tampered_flag_caught():
+    _tamper("f", idx=0)
+
+
+# ---------------------------------------------------------------------------
+# full STARK round-trip
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_prove_verify_machine():
+    view, trace = k_trace(asm.assemble("""
+        addi t0, zero, 10
+        addi a0, zero, 0
+        addi a1, zero, 1
+    loop:
+        add  a2, a0, a1
+        mv   a0, a1
+        mv   a1, a2
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        lw   t1, 0x84(zero)
+        sw   a0, 0(t1)
+    """ + EXIT))
+    proof = prove_machine(view, trace, CFG)
+    assert verify_machine(view, proof, CFG)
+
+    # a proof for one claim must not verify another
+    view2, trace2 = k_trace(asm.assemble("""
+        addi t0, zero, 3
+        lw   t1, 0x84(zero)
+        sw   t0, 0(t1)
+    """ + EXIT))
+    assert not verify_machine(view2, proof, CFG)
+
+    # tampered exit code in the claim
+    import copy
+    bad_view = copy.deepcopy(view)
+    bad_view.exit_code = 1
+    assert not verify_machine(bad_view, proof, CFG)

@@ -30,7 +30,7 @@ KNOWN_ENCODINGS = [
     (0x40B50633, Opcode.SUB, 12, 10, 11, 0),          # sub a2, a0, a1
     (0xFFF50513, Opcode.ADDI, 10, 10, 0, 0xFFFFFFFF),  # addi a0, a0, -1
     (0x02B50533, Opcode.MUL, 10, 10, 11, 0),          # mul a0, a0, a1
-    (0x0000_0073, Opcode.ECALL, 0, 0, 0, 0),
+    (0x0000_0073, Opcode.ECALL, 0, 17, 10, 0),  # a7/a0 slot wiring
     (0x0000_0013, Opcode.ADDI, 0, 0, 0, 0),           # nop
     (0x00052583, Opcode.LW, 11, 10, 0, 0),            # lw a1, 0(a0)
     (0x00B52023, Opcode.SW, 0, 10, 11, 0),            # sw a1, 0(a0)
