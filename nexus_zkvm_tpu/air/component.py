@@ -60,6 +60,18 @@ class Component:
         """Deterministic preprocessed columns: list[(name, np uint32)]."""
         return []
 
+    def params(self) -> dict:
+        """Scalar parameters read via ``ctx.param(name)`` — passed as
+        *traced inputs* to the jitted evaluation paths so the compiled
+        graphs are shared across programs/layouts."""
+        return {}
+
+    def jit_key(self):
+        """Cache key for the jitted evaluation graphs.  Must capture
+        everything `evaluate` bakes in besides shapes and params."""
+        return (type(self).__module__, type(self).__qualname__,
+                self.name, self.n_main)
+
     def evaluate(self, ctx):
         raise NotImplementedError
 
@@ -78,15 +90,23 @@ class _BaseCtx:
     be = JNP
     accumulates = False
 
-    def __init__(self, relations=None, claimed=None):
+    def __init__(self, relations=None, claimed=None, params=None):
         self.relations = relations or {}
         self.entries = []          # [(numerator Felt, denominator Felt)]
         self.n_constraints = 0
         self.acc = None            # Horner accumulator (Felt)
         self.alpha = None          # Felt qconst
         self._claimed = claimed
+        self._params = params or {}
 
     # -- to be provided by subclasses: main/pre/inter/is_first ---------
+
+    def param(self, name: str) -> Felt:
+        """A component scalar parameter (layout constant etc.)."""
+        v = self._params[name]
+        if isinstance(v, (int, np.integer)):
+            return Felt.const(int(v), self.be)
+        return Felt(v, "m31", self.be, deg=0)
 
     def add_fraction(self, mult, rel: str, values):
         den = self.relations[rel].combine(values, self.be)
@@ -103,11 +123,26 @@ class _BaseCtx:
             f"constraint degree {f.deg} > {MAX_CONSTRAINT_DEG}"
         self.n_constraints += 1
         if self.accumulates:
-            f = f.as_qm31()
-            if self.acc is None:
-                self.acc = f
-            else:
-                self.acc = self.acc * self.alpha + f
+            self._accumulate(f)
+
+    def constraint_vec(self, arr, count: int):
+        """`count` consecutive QM31 constraints as one stacked
+        (count, ..., 4) array — keeps the traced graph small for
+        uniform constraint blocks (the LogUp column constraints)."""
+        self.n_constraints += count
+        if self.accumulates:
+            self._accumulate_vec(arr, count)
+
+    def _accumulate(self, f: Felt):
+        f = f.as_qm31()
+        if self.acc is None:
+            self.acc = f
+        else:
+            self.acc = self.acc * self.alpha + f
+
+    def _accumulate_vec(self, arr, count: int):
+        for b in range(count):
+            self._accumulate(Felt(arr[b], "qm31", self.be))
 
 
 def _finalize_logup(ctx):
@@ -115,6 +150,8 @@ def _finalize_logup(ctx):
     entries = ctx.entries
     if not entries:
         return
+    if ctx.be is JNP:
+        return _finalize_logup_batched(ctx)
     batches = [entries[i:i + 2] for i in range(0, len(entries), 2)]
     nb = len(batches)
     claimed = ctx.claimed
@@ -138,13 +175,52 @@ def _finalize_logup(ctx):
         ctx.constraint(lhs * dd - numer)
 
 
+def _finalize_logup_batched(ctx):
+    """Device-path LogUp finalize: identical constraints to the loop
+    above, built from stacked arrays (3 big QM31 multiplies total)."""
+    entries = list(ctx.entries)
+    if len(entries) % 2:
+        one = Felt.qconst(np.array([1, 0, 0, 0], np.uint32), JNP)
+        entries.append((Felt.const(0, JNP), one))
+    nb = len(entries) // 2
+    shape = None
+    for n, d in entries:
+        v = d.as_qm31().v
+        if v.ndim >= 2:
+            shape = v.shape
+            break
+    assert shape is not None
+
+    def stacked(idx, which):
+        return jnp.stack([
+            jnp.broadcast_to(entries[2 * b + idx][which].as_qm31().v,
+                             shape) for b in range(nb)])
+
+    n1, n2 = stacked(0, 0), stacked(1, 0)
+    d1, d2 = stacked(0, 1), stacked(1, 1)
+    numer = F.qm31_add(F.qm31_mul(n1, d2), F.qm31_mul(n2, d1))
+    dd = F.qm31_mul(d1, d2)
+
+    inter = jnp.stack([ctx.inter(b, 0).v for b in range(nb)])
+    prev = jnp.concatenate([jnp.zeros((1,) + shape, jnp.uint32),
+                            inter[:-1]])
+    lhs = F.qm31_sub(inter, prev)
+    # last batch: S - S[-1 row] - S_{B-2} + is_first * claimed
+    last_fix = F.qm31_sub(
+        (ctx.is_first * ctx.claimed).as_qm31().v,
+        ctx.inter(nb - 1, -1).v)
+    lhs = lhs.at[-1].set(F.qm31_add(lhs[-1], last_fix))
+    cons = F.qm31_sub(F.qm31_mul(lhs, dd), numer)
+    ctx.constraint_vec(cons, nb)
+
+
 class InfoContext(_BaseCtx):
     """Shape collection on 4-row dummy data (host numpy)."""
     be = NP
     ROWS = 4
 
-    def __init__(self):
-        super().__init__(claimed=np.zeros(4, np.uint64))
+    def __init__(self, params=None):
+        super().__init__(claimed=np.zeros(4, np.uint64), params=params)
         self.masks_main = {}
         self.masks_pre = {}
         self.masks_inter = {}
@@ -192,7 +268,7 @@ class ComponentInfo:
 
 
 def component_info(component: Component) -> ComponentInfo:
-    ctx = InfoContext()
+    ctx = InfoContext(params=component.params())
     component.evaluate(ctx)
     nb = (len(ctx.entries) + 1) // 2
     _finalize_logup(ctx)
@@ -214,8 +290,9 @@ def component_info(component: Component) -> ComponentInfo:
 class GenContext(_BaseCtx):
     """Interaction generation over the trace domain (jnp, natural order)."""
 
-    def __init__(self, main_cols, pre_cols, relations, log_size: int):
-        super().__init__(relations=relations)
+    def __init__(self, main_cols, pre_cols, relations, log_size: int,
+                 params=None):
+        super().__init__(relations=relations, params=params)
         self.log_size = log_size
         self._main = [jnp.asarray(c, jnp.uint32) for c in main_cols]
         self._pre = [jnp.asarray(c, jnp.uint32) for c in pre_cols]
@@ -241,55 +318,174 @@ class GenContext(_BaseCtx):
         raise RuntimeError("interaction columns not available during gen")
 
 
+def _gen_interaction_body(component, main_cols, pre_cols, relations,
+                          log_size, params):
+    ctx = GenContext(main_cols, pre_cols, relations, log_size,
+                     params=params)
+    component.evaluate(ctx)
+    if not ctx.entries:
+        return []
+    entries = list(ctx.entries)
+    if len(entries) % 2:
+        one = Felt.qconst(np.array([1, 0, 0, 0], np.uint32), JNP)
+        entries.append((Felt.const(0, JNP), one))
+    nb = len(entries) // 2
+    full = (1 << log_size, 4)
+
+    def stacked(idx, which):
+        return jnp.stack([
+            jnp.broadcast_to(entries[2 * b + idx][which].as_qm31().v,
+                             full) for b in range(nb)])
+
+    # batched pair combination + ONE field inversion for all batches —
+    # the ~500-op inversion chain appears once in the traced graph
+    n1, n2 = stacked(0, 0), stacked(1, 0)
+    d1, d2 = stacked(0, 1), stacked(1, 1)
+    numer = F.qm31_add(F.qm31_mul(n1, d2), F.qm31_mul(n2, d1))
+    dd = F.qm31_mul(d1, d2)
+    fracs = F.qm31_mul(numer, F.qm31_inv(dd))            # (B, M, 4)
+    cols = []
+    running = fracs[0]
+    for b in range(1, fracs.shape[0]):
+        cols.append(running)
+        running = F.qm31_add(running, fracs[b])
+    # running == per-row total T; its prefix sum is the last column
+    last = jax.lax.associative_scan(F.m31_add, running, axis=0)
+    cols.append(last)
+    return cols
+
+
+def _relations_key(relations):
+    return tuple(sorted((r.name, r.width) for r in relations.values()))
+
+
+def _relations_flat(relations):
+    return {name: (jnp.asarray(r.z, jnp.uint32),
+                   jnp.asarray(r.alpha_pows, jnp.uint32))
+            for name, r in relations.items()}
+
+
+def _relations_unflat(flat):
+    from .lookups import LookupElements
+    return {name: LookupElements(name=name, width=int(pows.shape[0]),
+                                 z=z, alpha_pows=pows)
+            for name, (z, pows) in flat.items()}
+
+
+def _params_flat(component):
+    return {k: jnp.uint32(int(v) & 0x7FFFFFFF)
+            for k, v in component.params().items()}
+
+
+_GEN_JIT = {}
+
+
 def generate_interaction(component, main_cols, pre_cols, relations,
                          log_size: int):
     """Run evaluate() to collect fractions; build the LogUp columns.
 
     Returns (inter_cols, claimed_sum): inter_cols is a list of B
     (2^log_size, 4) uint32 jnp arrays (natural order), claimed_sum a
-    (4,) uint64 numpy array.
+    (4,) uint64 numpy array.  The whole generation is one jitted
+    XLA program per (component, shapes) — layout constants enter as
+    traced params so the compiled graph is program-independent.
     """
-    ctx = GenContext(main_cols, pre_cols, relations, log_size)
-    component.evaluate(ctx)
-    if not ctx.entries:
+    key = ("gen", component.jit_key(), log_size,
+           _relations_key(relations), len(main_cols), len(pre_cols))
+    fn = _GEN_JIT.get(key)
+    if fn is None:
+        def raw(main, pre, rel_flat, params):
+            rels = _relations_unflat(rel_flat)
+            return _gen_interaction_body(component, list(main),
+                                         list(pre), rels, log_size,
+                                         params)
+        fn = jax.jit(raw)
+        _GEN_JIT[key] = fn
+    cols = fn(tuple(jnp.asarray(c, jnp.uint32) for c in main_cols),
+              tuple(jnp.asarray(c, jnp.uint32) for c in pre_cols),
+              _relations_flat(relations), _params_flat(component))
+    if not cols:
         return [], np.zeros(4, np.uint64)
-    batches = [ctx.entries[i:i + 2] for i in range(0, len(ctx.entries), 2)]
-    fracs = []
-    for batch in batches:
-        if len(batch) == 2:
-            (n1, d1), (n2, d2) = batch
-            numer = n1 * d2 + n2 * d1
-            dd = d1 * d2
-        else:
-            (n1, d1), = batch
-            numer, dd = n1, d1
-        inv = Felt(F.qm31_inv(dd.as_qm31().v), "qm31", JNP)
-        fracs.append((numer * inv).as_qm31().v)
-    cols = []
-    running = fracs[0]
-    for f in fracs[1:]:
-        cols.append(running)
-        running = F.qm31_add(running, f)
-    # running == per-row total T; its prefix sum is the last column
-    last = jax.lax.associative_scan(F.m31_add, running, axis=0)
-    cols.append(last)
-    claimed = np.asarray(last[-1], np.uint64)
+    claimed = np.asarray(cols[-1][-1], np.uint64)
     return cols, claimed
 
 
 class DomainEvalContext(_BaseCtx):
-    """Composition evaluation on the 4x domain (jnp, natural order)."""
+    """Composition evaluation on the 4x domain (jnp, natural order).
+
+    Constraints are collected and combined at the end with a chunked
+    weighted sum over precomputed alpha powers (Horner order preserved:
+    constraint j gets alpha^(K-1-j)) — the XLA graph stays ~100 ops for
+    the accumulation instead of ~30 per constraint.
+    """
     accumulates = True
     EXTRA = 4  # rows of the eval domain per trace row
+    CHUNK = 64
 
     def __init__(self, main_evals, pre_evals, inter_evals, is_first_evals,
-                 relations, claimed, alpha):
-        super().__init__(relations=relations, claimed=claimed)
+                 relations, claimed, alpha, params=None):
+        super().__init__(relations=relations, claimed=claimed,
+                         params=params)
         self._main = main_evals      # list[(M,) jnp]
         self._pre = pre_evals
         self._inter = inter_evals    # list[(M, 4) jnp]
         self._is_first = is_first_evals
         self.alpha = Felt.qconst(alpha, JNP)
+        self._collected = []         # [(Felt, idx)]
+
+    def _accumulate(self, f: Felt):
+        self._collected.append(("one", f))
+
+    def _accumulate_vec(self, arr, count: int):
+        self._collected.append(("vec", arr, count))
+
+    def finalize_acc(self):
+        """Combine collected constraints: acc = sum_j alpha^(K-1-j) c_j
+        (identical to the verifier's Horner order)."""
+        if not self._collected:
+            self.acc = None
+            return None
+        # constraint index layout
+        items, K = [], 0
+        for it in self._collected:
+            if it[0] == "one":
+                items.append((K, it[1]))
+                K += 1
+            else:
+                items.append((K, it))
+                K += it[2]
+        pows = F.qm31_pow_list(self.alpha.v, K)      # (K, 4), pows[e]=a^e
+        m31_items = [(j, f) for j, f in items
+                     if not isinstance(f, tuple) and f.kind == "m31"]
+        qm31_items = [(j, f) for j, f in items
+                      if not isinstance(f, tuple) and f.kind == "qm31"]
+        vec_items = [(j, it) for j, it in items if isinstance(it, tuple)]
+        total = None
+        # m31 constraints: chunked modular weighted sums per coordinate
+        for lo in range(0, len(m31_items), self.CHUNK):
+            part_items = m31_items[lo:lo + self.CHUNK]
+            stack = jnp.stack([f.v for _, f in part_items])     # (G, M)
+            w = pows[jnp.asarray([K - 1 - j for j, _ in part_items])]
+            coords = []
+            for t in range(4):
+                prod = F.m31_mul(stack, w[:, t, None])          # (G, M)
+                coords.append(F.m31_fold_sum(prod, axis=0))
+            s = jnp.stack(coords, axis=-1)                      # (M, 4)
+            total = s if total is None else F.qm31_add(total, s)
+        # individual qm31 constraints
+        for j, f in qm31_items:
+            term = F.qm31_mul(jnp.broadcast_to(pows[K - 1 - j],
+                                               f.v.shape), f.v)
+            total = term if total is None else F.qm31_add(total, term)
+        # vector blocks: one batched multiply + modular sum per block
+        for j0, (_, arr, count) in vec_items:
+            w = pows[jnp.asarray([K - 1 - (j0 + b)
+                                  for b in range(count)])]      # (B, 4)
+            prod = F.qm31_mul(arr, w[:, None, :])               # (B, M, 4)
+            s = F.m31_fold_sum(prod, axis=0)   # qm31 add is coordwise
+            total = s if total is None else F.qm31_add(total, s)
+        self.acc = Felt(total, "qm31", JNP)
+        return total
 
     def _roll(self, c, off):
         return jnp.roll(c, -off * self.EXTRA, axis=0) if off else c
@@ -313,9 +509,11 @@ class PointEvalContext(_BaseCtx):
     be = NP
     accumulates = True
 
-    def __init__(self, mask_values, relations, claimed, alpha):
+    def __init__(self, mask_values, relations, claimed, alpha,
+                 params=None):
         """mask_values: {('main'|'pre'|'inter'|'is_first', idx, off) -> (4,)}."""
-        super().__init__(relations=relations, claimed=claimed)
+        super().__init__(relations=relations, claimed=claimed,
+                         params=params)
         self._vals = mask_values
         self.alpha = Felt.qconst(alpha, NP)
 
@@ -341,4 +539,45 @@ def run_constraints(component, ctx):
     """Run evaluate + LogUp finalize; returns (acc Felt|None, count)."""
     component.evaluate(ctx)
     _finalize_logup(ctx)
+    if hasattr(ctx, "finalize_acc"):
+        ctx.finalize_acc()
     return ctx.acc, ctx.n_constraints
+
+
+_DOMAIN_JIT = {}
+
+
+def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
+                           isf_evals, relations, claimed, alpha):
+    """Jitted composition evaluation over the 4x domain.
+
+    Returns (acc (M, 4) jnp array | None, n_constraints).  One XLA
+    program per (component, shapes); layout constants and Fiat-Shamir
+    randomness are traced inputs, so repeat proofs hit the persistent
+    compilation cache.
+    """
+    key = ("dom", component.jit_key(), _relations_key(relations),
+           len(main_evals), len(pre_evals), len(inter_evals),
+           int(isf_evals.shape[0]))
+    fn = _DOMAIN_JIT.get(key)
+    if fn is None:
+        def raw(main, pre, inter, isf, rel_flat, claimed_, alpha_,
+                params):
+            ctx = DomainEvalContext(
+                list(main), list(pre), list(inter), isf,
+                _relations_unflat(rel_flat), claimed_, alpha_,
+                params=params)
+            component.evaluate(ctx)
+            _finalize_logup(ctx)
+            ctx.finalize_acc()
+            if ctx.acc is None:
+                return None, ctx.n_constraints
+            return ctx.acc.as_qm31().v, ctx.n_constraints
+        fn = jax.jit(raw, static_argnames=())
+        _DOMAIN_JIT[key] = fn
+    acc, k = fn(tuple(main_evals), tuple(pre_evals), tuple(inter_evals),
+                isf_evals, _relations_flat(relations),
+                jnp.asarray(np.asarray(claimed, np.uint32)),
+                jnp.asarray(np.asarray(alpha, np.uint32)),
+                _params_flat(component))
+    return acc, int(k)

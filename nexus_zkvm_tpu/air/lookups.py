@@ -62,7 +62,10 @@ class LookupElements:
         for j, v in enumerate(values):
             if not isinstance(v, Felt):
                 v = Felt.const(int(v), be)
-            term = Felt.qconst(self.alpha_pows[j], be) * v
+            # alpha^0 = 1: skip the multiply (big graph saving for the
+            # many width-1 range-check relations)
+            term = v if j == 0 else \
+                Felt.qconst(self.alpha_pows[j], be) * v
             acc = term if acc is None else acc + term
         return acc - Felt.qconst(self.z, be)
 

@@ -37,8 +37,9 @@ class _AssertCtx(GenContext):
     accumulates = False
 
     def __init__(self, main_cols, pre_cols, inter_cols, relations,
-                 claimed, log_size):
-        super().__init__(main_cols, pre_cols, relations, log_size)
+                 claimed, log_size, params=None):
+        super().__init__(main_cols, pre_cols, relations, log_size,
+                         params=params)
         self._inter = [jnp.asarray(c, jnp.uint32) for c in inter_cols]
         self._claimed = np.asarray(claimed, np.uint64)
         self.violations = []
@@ -57,6 +58,16 @@ class _AssertCtx(GenContext):
         bad = np.nonzero(v.reshape(v.shape[0], -1).any(axis=1))[0]
         if len(bad):
             self.violations.append((self._k - 1, bad[:8].tolist()))
+
+    def constraint_vec(self, arr, count: int):
+        v = np.asarray(arr, np.uint64) % np.uint64(F.P)   # (B, M, 4)
+        for b in range(count):
+            self._k += 1
+            self.n_constraints += 1
+            bad = np.nonzero(v[b].reshape(v.shape[1], -1)
+                             .any(axis=1))[0]
+            if len(bad):
+                self.violations.append((self._k - 1, bad[:8].tolist()))
 
 
 def _dummy_relations(infos):
@@ -96,7 +107,8 @@ def assert_constraints(components, log_sizes, traces) -> None:
         inter, claimed = generate_interaction(comp, traces[ci], pre,
                                               relations, n)
         total = F.np_qm31_add(total, claimed)
-        ctx = _AssertCtx(traces[ci], pre, inter, relations, claimed, n)
+        ctx = _AssertCtx(traces[ci], pre, inter, relations, claimed, n,
+                         params=comp.params())
         comp.evaluate(ctx)
         _finalize_logup(ctx)
         if ctx.violations:

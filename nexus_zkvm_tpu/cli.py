@@ -1,0 +1,122 @@
+"""Command-line interface: scaffold, run, prove, verify guests.
+
+Counterpart of the reference's `cargo-nexus` CLI
+(`/root/reference/cli/src/command/mod.rs:7-20`):
+
+    python -m nexus_zkvm_tpu.cli new my_guest      # scaffold a guest
+    python -m nexus_zkvm_tpu.cli run   guest.s --input 21
+    python -m nexus_zkvm_tpu.cli prove guest.s --input 21 -o proof.bin
+    python -m nexus_zkvm_tpu.cli verify guest.s proof.bin --input 21
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+_TEMPLATE = """\
+# New guest program. Reads one u32 from the public input, writes one
+# u32 result to the public output. See examples/guests/ for more.
+    lw   t0, 0x80(zero)      # public input pointer
+    lw   a0, 4(t0)           # first input word
+    # ... compute on a0 ...
+    lw   t1, 0x84(zero)      # public output pointer
+    sw   a0, 0(t1)
+    addi a0, zero, 0         # exit code 0
+    addi a7, zero, 0x201
+    ecall
+"""
+
+
+def _load_guest(path: str):
+    from .sdk import Guest
+    if path.endswith(".s") or path.endswith(".asm"):
+        return Guest.from_asm(open(path).read())
+    return Guest.from_elf(path)
+
+
+def _input_bytes(args) -> bytes:
+    from .sdk import encode_u32s
+    return encode_u32s(*args.input) if args.input else b""
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nexus-zkvm-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_new = sub.add_parser("new", help="scaffold a new guest program")
+    p_new.add_argument("name")
+
+    for cmd in ("run", "prove", "verify"):
+        p = sub.add_parser(cmd)
+        p.add_argument("guest", help=".s/.asm assembly or riscv32 ELF")
+        p.add_argument("--input", type=lambda s: int(s, 0), nargs="*",
+                       help="public input u32 words")
+        p.add_argument("--private-input", type=lambda s: int(s, 0),
+                       nargs="*", help="private input bytes")
+        p.add_argument("--cpu", action="store_true",
+                       help="force the CPU backend")
+        if cmd == "prove":
+            p.add_argument("-o", "--output", default="proof.bin")
+        if cmd == "verify":
+            p.add_argument("proof")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "new":
+        path = args.name if args.name.endswith(".s") else args.name + ".s"
+        if os.path.exists(path):
+            ap.error(f"{path} already exists")
+        with open(path, "w") as f:
+            f.write(_TEMPLATE)
+        print(f"wrote {path}")
+        return 0
+
+    if getattr(args, "cpu", False):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    from .sdk import LocalProver, proof_to_bytes, proof_from_bytes
+    guest = _load_guest(args.guest)
+    prover = LocalProver(guest)
+    priv = bytes(args.private_input or [])
+
+    if args.cmd == "run":
+        view, trace = prover.trace(public_input=_input_bytes(args),
+                                   private_input=priv)
+        print(f"exit code: {view.exit_code}")
+        print(f"steps: {trace.n_steps}")
+        out = view.public_output.rstrip(b"\\0")
+        if out:
+            print(f"output bytes: {out.hex()}")
+        if view.debug_logs:
+            print("logs:", view.logs_text())
+        return 0 if view.exit_code == 0 else 1
+
+    if args.cmd == "prove":
+        t0 = time.time()
+        view, proof = prover.prove_with_input(
+            public_input=_input_bytes(args), private_input=priv)
+        blob = proof_to_bytes(proof)
+        with open(args.output, "wb") as f:
+            f.write(blob)
+        print(f"exit code {view.exit_code}; proof "
+              f"{len(blob) / 1024:.0f} KiB -> {args.output} "
+              f"in {time.time() - t0:.1f}s")
+        return 0
+
+    if args.cmd == "verify":
+        view, _trace = prover.trace(public_input=_input_bytes(args),
+                                    private_input=priv)
+        proof = proof_from_bytes(open(args.proof, "rb").read())
+        t0 = time.time()
+        ok = prover.verify(view, proof)
+        print(f"verified: {ok} in {time.time() - t0:.1f}s")
+        return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -127,6 +127,19 @@ class CpuComponent(Component):
         self.static_hi = int(static_hi if static_hi is not None
                              else exit_addr)
 
+    def params(self):
+        return {
+            "entry": self.entry,
+            "exit_addr": self.exit_addr,
+            "heap_start": self.heap_start,
+            "heap_lo": self.heap_start & 0xFFFF,
+            "heap_hi": self.heap_start >> 16,
+            "stack_lo": self.stack_top & 0xFFFF,
+            "stack_hi": self.stack_top >> 16,
+            "static_lo": self.static_lo,
+            "static_hi": self.static_hi,
+        }
+
     # -- helpers --------------------------------------------------------
     def evaluate(self, ctx):
         c = Cols(ctx, CPU_SCHEMA)
@@ -220,7 +233,7 @@ class CpuComponent(Component):
                          [opid, b_lo, b_hi, c_lo, c_hi, a_lo, a_hi])
 
         # -- execution chain -------------------------------------------
-        ctx.add_fraction(ctx.is_first, "exec", [1, self.entry])
+        ctx.add_fraction(ctx.is_first, "exec", [1, ctx.param("entry")])
         ctx.add_fraction(-real, "exec", [clk, pcW])
         ctx.add_fraction(real - S["s_halt"], "exec",
                          [clk + 1, npc_lo + npc_hi * (1 << 16)])
@@ -397,7 +410,9 @@ class CpuComponent(Component):
                              - cm1 * (1 << 16)))
         ctx.constraint(ls * (b_hi + imm_hi + cm1 - maddr_hi
                              - cm2 * (1 << 16)))
-        ctx.constraint(S["s_halt"] * (maddrW - self.exit_addr))
+        exit_addr = ctx.param("exit_addr")
+        heap_start = ctx.param("heap_start")
+        ctx.constraint(S["s_halt"] * (maddrW - exit_addr))
         # alignment + lane one-hot; mofs = byte offset within the word
         lf = [c("l", i) for i in range(4)]
         mofs = c("mofs")
@@ -462,14 +477,14 @@ class CpuComponent(Component):
         st = c("st_sel")
         ctx.constraint(st * (st - 1))
         ctx.constraint((is_store + S["s_halt"]) * (
-            st * (maddrW - self.exit_addr)
-            + (1 - st) * (maddrW - self.static_lo) - srd))
+            st * (maddrW - exit_addr)
+            + (1 - st) * (maddrW - ctx.param("static_lo")) - srd))
         ctx.constraint(is_store * (1 - st)
-                       * (self.static_hi - 1 - maddrW - srd2))
+                       * (ctx.param("static_hi") - 1 - maddrW - srd2))
         sel = c("ls_sel")
         ctx.constraint(is_load * (
-            sel * (self.exit_addr - 1 - maddrW)
-            + (1 - sel) * (maddrW - self.heap_start) - srd))
+            sel * (exit_addr - 1 - maddrW)
+            + (1 - sel) * (maddrW - heap_start) - srd))
         # the access chain (word-aligned address)
         alignedW = maddrW - mofs
         wp_lo, wp_hi = c.lo("wp"), c.hi("wp")
@@ -485,10 +500,10 @@ class CpuComponent(Component):
         for name, code in SYS_FLAGS:
             ctx.constraint(S[name] * (b_lo - int(code)))
             ctx.constraint(S[name] * b_hi)
-        ctx.constraint(S["s_sp"] * (a_lo - (self.stack_top & 0xFFFF)))
-        ctx.constraint(S["s_sp"] * (a_hi - (self.stack_top >> 16)))
-        ctx.constraint(S["s_hp"] * (a_lo - (self.heap_start & 0xFFFF)))
-        ctx.constraint(S["s_hp"] * (a_hi - (self.heap_start >> 16)))
+        ctx.constraint(S["s_sp"] * (a_lo - ctx.param("stack_lo")))
+        ctx.constraint(S["s_sp"] * (a_hi - ctx.param("stack_hi")))
+        ctx.constraint(S["s_hp"] * (a_lo - ctx.param("heap_lo")))
+        ctx.constraint(S["s_hp"] * (a_hi - ctx.param("heap_hi")))
 
         # -- byte range checks -----------------------------------------
         r256 = []

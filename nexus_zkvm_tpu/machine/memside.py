@@ -118,6 +118,9 @@ class RamTouched(Component):
     def __init__(self, heap_start: int):
         self.heap_start = int(heap_start)
 
+    def params(self):
+        return {"heap_start": self.heap_start}
+
     def evaluate(self, ctx):
         c = Cols(ctx, RAM_SCHEMA)
         f, addr = c("flag"), c("addr")
@@ -134,7 +137,7 @@ class RamTouched(Component):
         # zero-init rows live at/above the heap
         zd = c("zd", 0) + c("zd", 1) * (1 << 8) + c("zd", 2) * (1 << 16) \
             + c("zd", 3) * (1 << 24)
-        ctx.constraint(z * (addr - self.heap_start - zd))
+        ctx.constraint(z * (addr - ctx.param("heap_start") - zd))
         ctx.constraint(z * c("init_lo"))
         ctx.constraint(z * c("init_hi"))
         # range checks backing the decompositions

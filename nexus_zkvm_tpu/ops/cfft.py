@@ -157,25 +157,15 @@ def eval_basis_naive(j: int, n: int, x: int, y: int) -> int:
     return acc
 
 
-def evaluate_at_qm31_point(coeffs_bitrev, point):
-    """Evaluate an M31 coefficient vector at a QM31 circle point (host).
+def point_basis(n: int, point) -> np.ndarray:
+    """(2^n, 4) basis vector at a QM31 circle point, bit-reversed
+    layout: the iterated outer product kron([1, y], [1, x], [1, pi(x)],
+    ..., [1, pi^(n-2)(x)]) with the first factor slowest."""
+    from .field import np_qm31, np_qm31_sub, np_qm31_mul
 
-    coeffs_bitrev: (N,) uint32 in the bit-reversed layout `interpolate`
-    emits; point: (x, y), each a (4,) uint64 QM31 coordinate. The basis
-    vector in that layout is the iterated outer product
-    kron([1, y], [1, x], [1, pi(x)], ..., [1, pi^(n-2)(x)]) with the
-    first factor slowest, built with n doubling concatenations.
-    Returns a (4,) uint64 QM31 value.
-    """
-    from .field import np_qm31, np_qm31_sub, np_qm31_mul, np_m31_mul
-
-    c = np.asarray(coeffs_bitrev, np.uint64)
-    n = int(len(c)).bit_length() - 1
-    assert 1 << n == len(c)
     x, y = (np.asarray(v, np.uint64) for v in point)
     if n == 0:
-        return np_qm31(c[0])
-
+        return np_qm31(np.uint64(1))[None, :]
     two = np_qm31(np.uint64(2))
     one = np_qm31(np.uint64(1))
     xs = [x]
@@ -186,6 +176,24 @@ def evaluate_at_qm31_point(coeffs_bitrev, point):
     for v in list(reversed(xs)) + [y]:
         basis = np.concatenate([basis, np_qm31_mul(basis, v[None, :])],
                                axis=0)
+    return basis
+
+
+def evaluate_at_qm31_point(coeffs_bitrev, point, basis=None):
+    """Evaluate an M31 coefficient vector at a QM31 circle point (host).
+
+    coeffs_bitrev: (N,) uint32 in the bit-reversed layout `interpolate`
+    emits; point: (x, y), each a (4,) uint64 QM31 coordinate.  Pass a
+    precomputed `point_basis` to amortize it over many columns.
+    Returns a (4,) uint64 QM31 value.
+    """
+    from .field import np_m31_mul
+
+    c = np.asarray(coeffs_bitrev, np.uint64)
+    n = int(len(c)).bit_length() - 1
+    assert 1 << n == len(c)
+    if basis is None:
+        basis = point_basis(n, point)
     # each term < P < 2^31, so a sum of up to 2^30 terms fits in uint64
     terms = np_m31_mul(basis, c[:, None])
     return terms.sum(axis=0) % np.uint64(P)

@@ -74,6 +74,26 @@ def m31_neg(a):
     return jnp.where(a == 0, a, _U32_P - a)
 
 
+def m31_fold_sum(x, axis: int = 0):
+    """Modular sum along `axis` via a pairwise m31_add tree.
+
+    NB: jnp.sum with a uint64 view is NOT safe here — jax runs with
+    x64 disabled, so `astype(jnp.uint64)` silently stays uint32 and
+    sums of canonical values wrap (2^32 = 2 mod p).
+    """
+    x = jnp.moveaxis(jnp.asarray(x, jnp.uint32), axis, 0)
+    while x.shape[0] > 1:
+        k = x.shape[0]
+        if k % 2:
+            head, x = x[:1], x[1:]
+        else:
+            head = None
+        x = m31_add(x[: k // 2], x[k // 2:])
+        if head is not None:
+            x = jnp.concatenate([head, x], axis=0)
+    return x[0]
+
+
 def m31_mul(a, b):
     """31-bit modular product via 16-bit limbs (no 64-bit arithmetic).
 
@@ -288,6 +308,21 @@ def qm31_pow(x, e: int):
     if acc is None:
         return qm31(jnp.ones(x.shape[:-1], jnp.uint32))
     return acc
+
+
+def qm31_pow_list(x, k: int):
+    """(k, 4) array of x^0 .. x^(k-1) via lax.scan (compact graph)."""
+    import jax
+    one = jnp.zeros(4, jnp.uint32).at[0].set(1)
+    if k == 1:
+        return one[None, :]
+
+    def body(carry, _):
+        nxt = qm31_mul(carry, jnp.asarray(x, jnp.uint32))
+        return nxt, carry
+
+    _, pows = jax.lax.scan(body, one, None, length=k)
+    return pows
 
 
 # ---------------------------------------------------------------------------

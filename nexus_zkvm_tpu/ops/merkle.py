@@ -47,7 +47,7 @@ def _group_by_depth(columns):
 @dataclass
 class MerkleTree:
     """Committed tree: layers[d] is the (2^d, 8) digest array at depth d."""
-    layers: list          # index d in [0, max_depth]; numpy uint32 arrays
+    layers: list          # device or numpy arrays; see layer()
     columns: list         # the committed columns (numpy uint32), caller order
     by_depth: dict        # depth -> list of column indices
 
@@ -55,12 +55,21 @@ class MerkleTree:
     def max_depth(self) -> int:
         return len(self.layers) - 1
 
+    def layer(self, d: int) -> np.ndarray:
+        if not isinstance(self.layers[d], np.ndarray):
+            self.layers[d] = np.asarray(self.layers[d])
+        return self.layers[d]
+
     def root(self) -> np.ndarray:
-        return self.layers[0][0]
+        return self.layer(0)[0]
 
 
 def commit(columns) -> MerkleTree:
-    """Commit to a list of power-of-two-sized uint32 columns."""
+    """Commit to a list of power-of-two-sized uint32 columns.
+
+    Layers stay on device (async); `MerkleTree` materializes them to
+    host numpy lazily on first access (root/decommit), so the commit
+    itself never blocks."""
     assert columns, "cannot commit to zero columns"
     cols = [np.asarray(c, dtype=np.uint32) for c in columns]
     by_depth = _group_by_depth(cols)
@@ -76,7 +85,7 @@ def commit(columns) -> MerkleTree:
             parts.append(jnp.asarray(cols[ci])[:, None])
         msg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         below = batch_blake2s_words(msg)
-        layers[d] = np.asarray(below)
+        layers[d] = below            # device array; converted lazily
     return MerkleTree(layers=layers, columns=cols, by_depth=by_depth)
 
 
@@ -107,7 +116,7 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
 
     pos = queries
     for d in range(tree.max_depth, 0, -1):
-        layer = tree.layers[d]
+        layer = tree.layer(d)
         pos_set = set(pos)
         for p in pos:
             sib = p ^ 1

@@ -59,6 +59,19 @@ class RoleCommitment:
         ev = cfft.evaluate(jnp.asarray(self.coeffs[col_idx]), eval_log)
         return ev[jnp.asarray(natural_to_layout(eval_log))]
 
+    def evals_natural_many(self, col_idxs, eval_log: int):
+        """Batched `evals_natural`: one stacked FFT for many columns of
+        the same trace size."""
+        if not col_idxs:
+            return []
+        sizes = {self.trace_logs[i] for i in col_idxs}
+        assert len(sizes) == 1 and eval_log >= sizes.pop()
+        batch = jnp.stack([jnp.asarray(self.coeffs[i])
+                           for i in col_idxs])
+        ev = cfft.evaluate(batch, eval_log)
+        ev = ev[:, jnp.asarray(natural_to_layout(eval_log))]
+        return [ev[j] for j in range(ev.shape[0])]
+
     def open(self, positions_by_size: dict):
         """[(eval_log, MerkleDecommitment)] descending by size."""
         return [(s, merkle.decommit(self.trees[s], positions_by_size[s]))

@@ -43,7 +43,7 @@ from ..ops.circle import (
 )
 from ..air.component import (
     component_info, generate_interaction, run_constraints,
-    DomainEvalContext, PointEvalContext, preprocessed_is_first,
+    run_constraints_domain, PointEvalContext, preprocessed_is_first,
 )
 from ..air.lookups import draw_relations
 from .config import PcsConfig
@@ -316,30 +316,28 @@ def prove(components, log_sizes, main_traces, channel,
     for c, comp in enumerate(components):
         n = log_sizes[c]
         ev_log = n + 2
-        main_evals = [rc_main.evals_natural(plan.metas[i].ridx, ev_log)
-                      for i in plan.by_role["main"]
-                      if plan.metas[i].comp == c]
-        pre_evals = [rc_pre.evals_natural(plan.metas[i].ridx, ev_log)
-                     for i in plan.by_role["pre"]
-                     if plan.metas[i].comp == c]
+        main_evals = rc_main.evals_natural_many(
+            [plan.metas[i].ridx for i in plan.by_role["main"]
+             if plan.metas[i].comp == c], ev_log)
+        pre_evals = rc_pre.evals_natural_many(
+            [plan.metas[i].ridx for i in plan.by_role["pre"]
+             if plan.metas[i].comp == c], ev_log)
         isf_idx = plan.index[("pre", -1,
                               ("is_first", plan.pre_sizes.index(n)))]
         isf_evals = rc_pre.evals_natural(plan.metas[isf_idx].ridx, ev_log)
-        inter_evals = []
-        for b in range(infos[c].n_logup_cols):
-            coords = [rc_inter.evals_natural(
-                plan.metas[plan.index[("inter", c, (b, t))]].ridx, ev_log)
-                for t in range(4)]
-            inter_evals.append(jnp.stack(coords, axis=-1))
-        ctx = DomainEvalContext(main_evals, pre_evals, inter_evals,
-                                isf_evals, relations, claimed_sums[c],
-                                alpha)
-        acc, k = run_constraints(comp, ctx)
+        inter_flat = rc_inter.evals_natural_many(
+            [plan.metas[plan.index[("inter", c, (b, t))]].ridx
+             for b in range(infos[c].n_logup_cols) for t in range(4)],
+            ev_log) if infos[c].n_logup_cols else []
+        inter_evals = [jnp.stack(inter_flat[4 * b:4 * b + 4], axis=-1)
+                       for b in range(infos[c].n_logup_cols)]
+        acc, k = run_constraints_domain(
+            comp, main_evals, pre_evals, inter_evals, isf_evals,
+            relations, claimed_sums[c], alpha)
         assert k == infos[c].n_constraints
         if acc is None:
             continue
-        contrib = acc.as_qm31().v
-        contrib = qm31_mul_m31(contrib, inv_vanishing_natural(n, ev_log))
+        contrib = qm31_mul_m31(acc, inv_vanishing_natural(n, ev_log))
         shift = np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
         contrib = qm31_mul(jnp.asarray(shift), contrib)
         if ev_log in buckets:
@@ -358,16 +356,26 @@ def prove(components, log_sizes, main_traces, channel,
         "comp", [comp_coeffs[t] for t in range(4)], [comp_log] * 4, blowup)
     rc_comp.mix_roots(channel)
 
-    # -- OODS sampling ----------------------------------------------------
+    # -- OODS sampling (basis shared per (size, offset)) ------------------
     t_felt = channel.draw_felt()
     z = oods_point_from_felt(t_felt)
     rcs = {"pre": rc_pre, "main": rc_main, "inter": rc_inter,
            "comp": rc_comp}
+    basis_cache = {}
+
+    def _basis(tlog, off):
+        key = (tlog, off)
+        if key not in basis_cache:
+            basis_cache[key] = cfft.point_basis(
+                tlog, _point_for(z, tlog, off))
+        return basis_cache[key]
+
     sampled = []
     for i, m in enumerate(plan.metas):
         coeffs = rcs[m.role].coeffs[m.ridx]
         vals = [cfft.evaluate_at_qm31_point(
-            coeffs, _point_for(z, m.trace_log, o)) for o in m.offsets]
+            coeffs, None, basis=_basis(m.trace_log, o))
+            for o in m.offsets]
         sampled.append(np.stack(vals).astype(np.uint64))
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
                       .astype(np.uint32))
@@ -504,7 +512,8 @@ def _verify(components, proof, channel, config):
         isf_i = plan.index[("pre", -1,
                             ("is_first", plan.pre_sizes.index(n)))]
         mask_vals[("is_first", 0, 0)] = sampled[isf_i][0]
-        ctx = PointEvalContext(mask_vals, relations, claimed_sums[c], alpha)
+        ctx = PointEvalContext(mask_vals, relations, claimed_sums[c],
+                               alpha, params=comp.params())
         acc, k = run_constraints(comp, ctx)
         if k != infos[c].n_constraints:
             return False

@@ -21,6 +21,7 @@ __all__ = ["LocalProver", "prove", "verify"]
 class LocalProver:
     guest: Guest
     config: PcsConfig = None
+    backend: str = "auto"        # emulator backend: python|native|auto
 
     def __post_init__(self):
         if self.config is None:
@@ -34,7 +35,8 @@ class LocalProver:
                        rom_image=g.rom_image, ram_image=g.ram_image,
                        public_input=public_input,
                        private_input=private_input,
-                       ad=associated_data, max_steps=max_steps)
+                       ad=associated_data, max_steps=max_steps,
+                       backend=self.backend)
 
     def prove_with_input(self, public_input: bytes = b"",
                          private_input: bytes = b"",

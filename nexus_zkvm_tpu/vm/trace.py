@@ -77,14 +77,29 @@ class Trace:
 def k_trace(program_words, entry: int | None = None,
             rom_image: dict | None = None, ram_image: dict | None = None,
             public_input: bytes = b"", private_input: bytes = b"",
-            ad: bytes = b"", k: int = 1, max_steps: int | None = None):
+            ad: bytes = b"", k: int = 1, max_steps: int | None = None,
+            backend: str = "python"):
     """Two-pass trace: Harvard discovery, then Linear recording.
 
     program_words: list of u32 at `ELF_TEXT_START` (or ElfFile fields);
     returns (View, Trace).  Reference: `vm/src/trace.rs:302-348`.
+    backend="native" routes the hot loop to the C emulator
+    (bit-identical trace given the same layout); "auto" prefers native
+    when the toolchain is available.
     """
     from .isa import ELF_TEXT_START
     entry = ELF_TEXT_START if entry is None else entry
+
+    if backend in ("native", "auto"):
+        from .native_trace import k_trace_native, native_available
+        if native_available():
+            return k_trace_native(
+                program_words, entry=entry, rom_image=rom_image,
+                ram_image=ram_image, public_input=public_input,
+                private_input=private_input, ad=ad, k=k,
+                max_steps=max_steps)
+        if backend == "native":
+            raise RuntimeError("native emulator unavailable")
 
     harv = HarvardEmulator(program_words, base=ELF_TEXT_START, entry=entry,
                            rom_image=rom_image, ram_image=ram_image,
