@@ -111,12 +111,19 @@ def _sum(fs):
 
 
 class CpuComponent(Component):
+    """One execution segment.  Multi-segment proofs instantiate several
+    of these (`seg > 0` suppresses the boundary emit); the exec / reg /
+    mem chains connect across segments through the shared relations —
+    the TPU-native rendering of the reference's trace `split_by` seam
+    (`/root/reference/vm/src/trace.rs:108-120`)."""
     name = "cpu"
     n_main = CPU_SCHEMA.n_cols
 
     def __init__(self, entry: int, exit_addr: int, heap_start: int,
                  stack_top: int, static_lo: int | None = None,
-                 static_hi: int | None = None):
+                 static_hi: int | None = None, seg: int = 0):
+        self.seg = int(seg)
+        self.name = "cpu" if seg == 0 else f"cpu{seg}"
         self.entry = int(entry)
         self.exit_addr = int(exit_addr)
         self.heap_start = int(heap_start)
@@ -127,8 +134,14 @@ class CpuComponent(Component):
         self.static_hi = int(static_hi if static_hi is not None
                              else exit_addr)
 
+    def jit_key(self):
+        # segments share compiled graphs (only params differ)
+        return (type(self).__module__, type(self).__qualname__,
+                "cpu", self.n_main)
+
     def params(self):
         return {
+            "is_entry": 1 if self.seg == 0 else 0,
             "entry": self.entry,
             "exit_addr": self.exit_addr,
             "heap_start": self.heap_start,
@@ -232,8 +245,9 @@ class CpuComponent(Component):
         ctx.add_fraction(m_ext, "mext",
                          [opid, b_lo, b_hi, c_lo, c_hi, a_lo, a_hi])
 
-        # -- execution chain -------------------------------------------
-        ctx.add_fraction(ctx.is_first, "exec", [1, ctx.param("entry")])
+        # -- execution chain (boundary emit only in the entry segment) --
+        ctx.add_fraction(ctx.is_first * ctx.param("is_entry"), "exec",
+                         [1, ctx.param("entry")])
         ctx.add_fraction(-real, "exec", [clk, pcW])
         ctx.add_fraction(real - S["s_halt"], "exec",
                          [clk + 1, npc_lo + npc_hi * (1 << 16)])

@@ -62,15 +62,16 @@ def _static_window(view):
     return min(static) & ~3, lay.program_end
 
 
-def build_components(view):
+def build_components(view, n_segments: int = 1):
     lay = view.memory_layout
     assert lay.end < (1 << 30), "memory layout exceeds M31-safe range"
     st_lo, st_hi = _static_window(view)
-    cpu = CpuComponent(entry=view.program_info.initial_pc,
-                       exit_addr=lay.exit_code,
-                       heap_start=lay.heap_start,
-                       stack_top=lay.stack_top,
-                       static_lo=st_lo, static_hi=st_hi)
+    cpus = [CpuComponent(entry=view.program_info.initial_pc,
+                         exit_addr=lay.exit_code,
+                         heap_start=lay.heap_start,
+                         stack_top=lay.stack_top,
+                         static_lo=st_lo, static_hi=st_hi, seg=s)
+            for s in range(n_segments)]
     prog = ProgramTable(decode_program_table(view))
     regf = RegFile(stack_top=lay.stack_top)
     ram = RamTouched(heap_start=lay.heap_start)
@@ -81,7 +82,7 @@ def build_components(view):
               BitOpTable("and"), BitOpTable("xor"),
               ShiftTable("l"), ShiftTable("r")]
     mext = MExtComponent()
-    comps = [cpu, prog, regf, ram, meminit, outchk, mext] + tables
+    comps = cpus + [prog, regf, ram, meminit, outchk, mext] + tables
     fixed_sizes = {
         "program": _clog2(len(view.program_info.program)),
         "regfile": 5,
@@ -197,19 +198,31 @@ def _memside_emits(ram_fill, out_fill):
     return {"r256": np.concatenate(e256), "r64": np.concatenate(e64)}
 
 
-def build_machine_traces(view, trace):
+def build_machine_traces(view, trace, segment_log: int | None = None):
     """(View, Trace) -> (components, log_sizes, main column lists).
 
     The complete vectorized fill for every component — shared by the
-    prover and the constraint-assertion tests.
+    prover and the constraint-assertion tests.  `segment_log` splits
+    the execution into 2^segment_log-step segments, each its own CPU
+    component (chains connect through the shared relations).
     """
-    comps, fixed_sizes, (st_lo, st_hi) = build_components(view)
+    n_steps = int(len(trace.steps["clk"]))
+    if segment_log is not None:
+        segs = trace.split_by(1 << segment_log)
+    else:
+        segs = [trace]
+    comps, fixed_sizes, (st_lo, st_hi) = build_components(
+        view, n_segments=len(segs))
     by_name = {c.name: c for c in comps}
     lay = view.memory_layout
 
-    n_steps = int(len(trace.steps["clk"]))
-    cpu_log = _clog2(n_steps, lo=4)
-    cpu_fill, cpu_emits = fill_cpu(trace, view, cpu_log, st_lo, st_hi)
+    cpu_fills, cpu_logs, cpu_emit_list = [], [], []
+    for seg in segs:
+        log = _clog2(len(seg.steps["clk"]), lo=4)
+        f, e = fill_cpu(seg, view, log, st_lo, st_hi)
+        cpu_fills.append(f)
+        cpu_logs.append(log)
+        cpu_emit_list.append(e)
 
     addrs, inits, finals, fts, oc_prev = _ram_data(trace, view)
     # +1 guarantees a padding row so the sorted-address next-row
@@ -241,14 +254,16 @@ def build_machine_traces(view, trace):
     mi_mult[g_addrs // 4] = 1
 
     mults = _table_mults(comps, fixed_sizes,
-                         [cpu_emits, mext_emits,
-                          _memside_emits(ram_fill, out_fill)])
+                         cpu_emit_list + [mext_emits,
+                         _memside_emits(ram_fill, out_fill)])
 
     log_sizes, traces = [], []
+    seg_i = 0
     for comp in comps:
-        if comp.name == "cpu":
-            log_sizes.append(cpu_log)
-            traces.append(CPU_SCHEMA.to_columns(cpu_fill))
+        if comp.name.startswith("cpu"):
+            log_sizes.append(cpu_logs[seg_i])
+            traces.append(CPU_SCHEMA.to_columns(cpu_fills[seg_i]))
+            seg_i += 1
         elif comp.name == "program":
             log_sizes.append(fixed_sizes["program"])
             traces.append([prog_mult])
@@ -273,9 +288,10 @@ def build_machine_traces(view, trace):
     return comps, log_sizes, traces
 
 
-def prove_machine(view, trace, config: PcsConfig = PcsConfig()
-                  ) -> MachineProof:
-    comps, log_sizes, traces = build_machine_traces(view, trace)
+def prove_machine(view, trace, config: PcsConfig = PcsConfig(),
+                  segment_log: int | None = None) -> MachineProof:
+    comps, log_sizes, traces = build_machine_traces(view, trace,
+                                                    segment_log)
     channel = Blake2sChannel()
     _mix_view(channel, view)
     proof = prove(comps, log_sizes, traces, channel, config)
@@ -284,11 +300,15 @@ def prove_machine(view, trace, config: PcsConfig = PcsConfig()
 
 def verify_machine(view, proof: MachineProof,
                    config: PcsConfig = PcsConfig()) -> bool:
+    log_sizes = list(proof.stark.log_sizes)
     try:
-        comps, fixed_sizes, _ = build_components(view)
+        n_fixed = len(build_components(view, 1)[0]) - 1
+        n_segments = len(log_sizes) - n_fixed
+        if n_segments < 1:
+            return False
+        comps, fixed_sizes, _ = build_components(view, n_segments)
     except (AssertionError, ValueError):
         return False
-    log_sizes = list(proof.stark.log_sizes)
     if len(log_sizes) != len(comps):
         return False
     # canonical sizes for all view-determined components; the CPU and

@@ -160,6 +160,20 @@ def _build_samples(plan: Plan, z, sampled):
     return out
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _oods_dot(cols, basis):
+    """(C, N) coeff rows x (N, 4) point basis -> (C, 4) QM31 values."""
+    from ..ops.field import m31_mul as _mm, m31_fold_sum as _fs
+    outs = []
+    for t in range(4):
+        prod = _mm(cols, basis[None, :, t])          # (C, N)
+        outs.append(_fs(prod, axis=1))
+    return jnp.stack(outs, axis=-1)
+
+
 _INV_VANISH_CACHE = {}
 
 
@@ -356,27 +370,26 @@ def prove(components, log_sizes, main_traces, channel,
         "comp", [comp_coeffs[t] for t in range(4)], [comp_log] * 4, blowup)
     rc_comp.mix_roots(channel)
 
-    # -- OODS sampling (basis shared per (size, offset)) ------------------
+    # -- OODS sampling: batched device dot per (size, offset) group -------
     t_felt = channel.draw_felt()
     z = oods_point_from_felt(t_felt)
     rcs = {"pre": rc_pre, "main": rc_main, "inter": rc_inter,
            "comp": rc_comp}
-    basis_cache = {}
-
-    def _basis(tlog, off):
-        key = (tlog, off)
-        if key not in basis_cache:
-            basis_cache[key] = cfft.point_basis(
-                tlog, _point_for(z, tlog, off))
-        return basis_cache[key]
-
-    sampled = []
+    groups = {}                   # (tlog, off) -> [(plan idx, off idx)]
     for i, m in enumerate(plan.metas):
-        coeffs = rcs[m.role].coeffs[m.ridx]
-        vals = [cfft.evaluate_at_qm31_point(
-            coeffs, None, basis=_basis(m.trace_log, o))
-            for o in m.offsets]
-        sampled.append(np.stack(vals).astype(np.uint64))
+        for oi, o in enumerate(m.offsets):
+            groups.setdefault((m.trace_log, o), []).append((i, oi))
+    sampled = [np.zeros((len(m.offsets), 4), np.uint64)
+               for m in plan.metas]
+    for (tlog, off), members in groups.items():
+        basis = cfft.point_basis(tlog, _point_for(z, tlog, off))
+        cols = jnp.stack([jnp.asarray(
+            rcs[plan.metas[i].role].coeffs[plan.metas[i].ridx])
+            for i, _ in members])                       # (C, N)
+        vals = np.asarray(_oods_dot(cols, jnp.asarray(
+            basis.astype(np.uint32))), np.uint64)       # (C, 4)
+        for (i, oi), v in zip(members, vals):
+            sampled[i][oi] = v
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
                       .astype(np.uint32))
 

@@ -246,6 +246,22 @@ def test_fib_constraints():
     """ + EXIT)
 
 
+def test_segmented_constraints():
+    """Multi-segment execution: chains connect across CPU components."""
+    view, trace = k_trace(asm.assemble("""
+        addi t0, zero, 40
+    loop:
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        lw   t1, 0x84(zero)
+        sw   t0, 0(t1)
+    """ + EXIT))
+    comps, log_sizes, traces = build_machine_traces(view, trace,
+                                                    segment_log=4)
+    assert sum(1 for c in comps if c.name.startswith("cpu")) > 2
+    assert_constraints(comps, log_sizes, traces)
+
+
 # ---------------------------------------------------------------------------
 # tampering is caught by the constraint harness
 # ---------------------------------------------------------------------------
