@@ -288,25 +288,34 @@ def component_info(component: Component) -> ComponentInfo:
 
 
 class GenContext(_BaseCtx):
-    """Interaction generation over the trace domain (jnp, natural order)."""
+    """Interaction generation over the trace domain (jnp, natural
+    order).  Columns live in ONE (C, M) matrix — a per-column argument
+    list would give the jitted graph thousands of parameters."""
 
-    def __init__(self, main_cols, pre_cols, relations, log_size: int,
+    def __init__(self, main_matrix, pre_matrix, relations, log_size: int,
                  params=None):
         super().__init__(relations=relations, params=params)
         self.log_size = log_size
-        self._main = [jnp.asarray(c, jnp.uint32) for c in main_cols]
-        self._pre = [jnp.asarray(c, jnp.uint32) for c in pre_cols]
+        self._main = main_matrix         # (C, M) or None
+        self._pre = pre_matrix           # (P, M) or None
 
-    def main(self, i: int, off: int = 0) -> Felt:
-        c = self._main[i]
+    def _row(self, mat, i, off):
+        c = mat[i]
         if off:
             c = jnp.roll(c, -off, axis=0)
         return Felt(c, "m31", JNP)
 
+    def main(self, i: int, off: int = 0) -> Felt:
+        return self._row(self._main, i, off)
+
     def pre(self, j: int, off: int = 0) -> Felt:
-        c = self._pre[j]
+        return self._row(self._pre, j, off)
+
+    def main_block(self, lo: int, hi: int, off: int = 0) -> Felt:
+        """Contiguous rows [lo, hi) as one stacked Felt."""
+        c = self._main[lo:hi]
         if off:
-            c = jnp.roll(c, -off, axis=0)
+            c = jnp.roll(c, -off, axis=-1)
         return Felt(c, "m31", JNP)
 
     @property
@@ -396,18 +405,27 @@ def generate_interaction(component, main_cols, pre_cols, relations,
     if fn is None:
         def raw(main, pre, rel_flat, params):
             rels = _relations_unflat(rel_flat)
-            return _gen_interaction_body(component, list(main),
-                                         list(pre), rels, log_size,
-                                         params)
+            return _gen_interaction_body(component, main, pre, rels,
+                                         log_size, params)
         fn = jax.jit(raw)
         _GEN_JIT[key] = fn
-    cols = fn(tuple(jnp.asarray(c, jnp.uint32) for c in main_cols),
-              tuple(jnp.asarray(c, jnp.uint32) for c in pre_cols),
+    cols = fn(_as_matrix(main_cols), _as_matrix(pre_cols),
               _relations_flat(relations), _params_flat(component))
     if not cols:
         return [], np.zeros(4, np.uint64)
     claimed = np.asarray(cols[-1][-1], np.uint64)
     return cols, claimed
+
+
+def _as_matrix(cols):
+    """List of (M,) columns -> one (C, M) device matrix (or None)."""
+    if cols is None or (hasattr(cols, "ndim") and cols.ndim == 2):
+        return None if cols is None else jnp.asarray(cols)
+    if len(cols) == 0:
+        return None
+    if all(isinstance(c, np.ndarray) for c in cols):
+        return jnp.asarray(np.stack(cols).astype(np.uint32))
+    return jnp.stack([jnp.asarray(c, jnp.uint32) for c in cols])
 
 
 class DomainEvalContext(_BaseCtx):
@@ -426,12 +444,18 @@ class DomainEvalContext(_BaseCtx):
                  relations, claimed, alpha, params=None):
         super().__init__(relations=relations, claimed=claimed,
                          params=params)
-        self._main = main_evals      # list[(M,) jnp]
-        self._pre = pre_evals
-        self._inter = inter_evals    # list[(M, 4) jnp]
+        self._main = main_evals      # (C, M) jnp matrix
+        self._pre = pre_evals        # (P, M) jnp matrix
+        self._inter = inter_evals    # (B, M, 4) jnp array
         self._is_first = is_first_evals
         self.alpha = Felt.qconst(alpha, JNP)
         self._collected = []         # [(Felt, idx)]
+
+    def main_block(self, lo: int, hi: int, off: int = 0) -> Felt:
+        c = self._main[lo:hi]
+        if off:
+            c = jnp.roll(c, -off * self.EXTRA, axis=-1)
+        return Felt(c, "m31", JNP)
 
     def _accumulate(self, f: Felt):
         self._collected.append(("one", f))
@@ -564,7 +588,7 @@ def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
         def raw(main, pre, inter, isf, rel_flat, claimed_, alpha_,
                 params):
             ctx = DomainEvalContext(
-                list(main), list(pre), list(inter), isf,
+                main, pre, inter, isf,
                 _relations_unflat(rel_flat), claimed_, alpha_,
                 params=params)
             component.evaluate(ctx)
@@ -575,7 +599,12 @@ def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
             return ctx.acc.as_qm31().v, ctx.n_constraints
         fn = jax.jit(raw, static_argnames=())
         _DOMAIN_JIT[key] = fn
-    acc, k = fn(tuple(main_evals), tuple(pre_evals), tuple(inter_evals),
+    if getattr(inter_evals, "ndim", None) == 3:
+        inter_m = jnp.asarray(inter_evals)
+    else:
+        inter_m = (jnp.stack([jnp.asarray(c) for c in inter_evals])
+                   if len(inter_evals) else None)
+    acc, k = fn(_as_matrix(main_evals), _as_matrix(pre_evals), inter_m,
                 isf_evals, _relations_flat(relations),
                 jnp.asarray(np.asarray(claimed, np.uint32)),
                 jnp.asarray(np.asarray(alpha, np.uint32)),

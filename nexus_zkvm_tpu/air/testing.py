@@ -38,8 +38,9 @@ class _AssertCtx(GenContext):
 
     def __init__(self, main_cols, pre_cols, inter_cols, relations,
                  claimed, log_size, params=None):
-        super().__init__(main_cols, pre_cols, relations, log_size,
-                         params=params)
+        from .component import _as_matrix
+        super().__init__(_as_matrix(main_cols), _as_matrix(pre_cols),
+                         relations, log_size, params=params)
         self._inter = [jnp.asarray(c, jnp.uint32) for c in inter_cols]
         self._claimed = np.asarray(claimed, np.uint64)
         self.violations = []

@@ -58,6 +58,7 @@ OP_FLAGS = [
     Opcode.BGEU, Opcode.LUI, Opcode.AUIPC, Opcode.JAL,
     Opcode.MUL, Opcode.MULH, Opcode.MULHSU, Opcode.MULHU,
     Opcode.DIV, Opcode.DIVU, Opcode.REM, Opcode.REMU,
+    Opcode.KECCAKF,
 ]
 _FLAG_IDX = {op: i for i, op in enumerate(OP_FLAGS)}
 
@@ -209,7 +210,7 @@ class CpuComponent(Component):
             Opcode.XOR, Opcode.SRL, Opcode.SRA, Opcode.OR, Opcode.AND,
             Opcode.SB, Opcode.SH, Opcode.SW, Opcode.BEQ, Opcode.BNE,
             Opcode.BLT, Opcode.BGE, Opcode.BLTU, Opcode.BGEU,
-            Opcode.ECALL)])
+            Opcode.ECALL, Opcode.KECCAKF)])
         writes = m_ext + _sum([F[o] for o in (
             Opcode.ADD, Opcode.SUB, Opcode.SLL, Opcode.SLT, Opcode.SLTU,
             Opcode.XOR, Opcode.SRL, Opcode.SRA, Opcode.OR, Opcode.AND,
@@ -244,6 +245,9 @@ class CpuComponent(Component):
         # -- M-extension dispatch (consumed by MExtComponent) ----------
         ctx.add_fraction(m_ext, "mext",
                          [opid, b_lo, b_hi, c_lo, c_hi, a_lo, a_hi])
+
+        # -- keccakf dispatch (consumed by KeccakComponent) ------------
+        ctx.add_fraction(F[Opcode.KECCAKF], "keccak", [clk, b_lo, b_hi])
 
         # -- execution chain (boundary emit only in the entry segment) --
         ctx.add_fraction(ctx.is_first * ctx.param("is_entry"), "exec",
@@ -604,7 +608,8 @@ def decode_program_table(view) -> dict:
 _R_TYPE = {Opcode.ADD, Opcode.SUB, Opcode.SLL, Opcode.SLT, Opcode.SLTU,
            Opcode.XOR, Opcode.SRL, Opcode.SRA, Opcode.OR, Opcode.AND,
            Opcode.MUL, Opcode.MULH, Opcode.MULHSU, Opcode.MULHU,
-           Opcode.DIV, Opcode.DIVU, Opcode.REM, Opcode.REMU}
+           Opcode.DIV, Opcode.DIVU, Opcode.REM, Opcode.REMU,
+           Opcode.KECCAKF}
 _S_TYPE = {Opcode.SB, Opcode.SH, Opcode.SW}
 _B_TYPE = {Opcode.BEQ, Opcode.BNE, Opcode.BLT, Opcode.BGE, Opcode.BLTU,
            Opcode.BGEU}

@@ -25,6 +25,8 @@ from ..prover.stark import Proof
 from .cpu import (CpuComponent, ProgramTable, CPU_SCHEMA, fill_cpu,
                   decode_program_table)
 from .mext import MExtComponent, MEXT_SCHEMA, M_OPS, fill_mext
+from .keccak import (KeccakComponent, KECCAK_SCHEMA, fill_keccak,
+                     BLOCK as KECCAK_BLOCK)
 from .memside import (RegFile, RamTouched, MemInit, OutputCheck,
                       TS_CHECK, REG_SCHEMA, RAM_SCHEMA, OUT_SCHEMA,
                       fill_reg_file, fill_ram_touched)
@@ -82,7 +84,9 @@ def build_components(view, n_segments: int = 1):
               BitOpTable("and"), BitOpTable("xor"),
               ShiftTable("l"), ShiftTable("r")]
     mext = MExtComponent()
-    comps = cpus + [prog, regf, ram, meminit, outchk, mext] + tables
+    keccak = KeccakComponent()
+    comps = cpus + [prog, regf, ram, meminit, outchk, mext, keccak] \
+        + tables
     fixed_sizes = {
         "program": _clog2(len(view.program_info.program)),
         "regfile": 5,
@@ -151,9 +155,18 @@ def _ram_data(trace, view):
     s = trace.steps
     mem_rows = s["mem_size"] > 0
     words = (s["mem_addr"][mem_rows] & ~np.uint32(3)).astype(np.int64)
-    prev_vals = s["mem_prev_val"][mem_rows]
+    prev_vals = s["mem_prev_val"][mem_rows].astype(np.int64)
+    clks = s["clk"][mem_rows].astype(np.int64)
+    # keccakf instructions access 50 words each (one pair per word)
+    for e in (ms.get("keccak_log") or []):
+        kw = int(e["addr"]) + 4 * np.arange(50, dtype=np.int64)
+        words = np.concatenate([words, kw])
+        prev_vals = np.concatenate(
+            [prev_vals, np.asarray(e["in_words"], np.int64)])
+        clks = np.concatenate(
+            [clks, np.full(50, int(e["clk"]), np.int64)])
     # first access per word gives the initial value
-    order = np.lexsort((s["clk"][mem_rows], words))
+    order = np.lexsort((clks, words))
     w_sorted = words[order]
     first = np.ones(len(w_sorted), bool)
     first[1:] = w_sorted[1:] != w_sorted[:-1]
@@ -240,6 +253,13 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
     mext_log = _clog2(n_m)
     mext_fill, mext_emits = fill_mext(trace, mext_log)
 
+    kk_log = (trace.machine_state or {}).get("keccak_log", [])
+    n_kk = int((trace.steps["opcode"] == 64).sum())
+    assert n_kk == len(kk_log), \
+        "keccak steps without recorded state (use the python backend)"
+    keccak_log2 = _clog2(max(1, len(kk_log)) * KECCAK_BLOCK)
+    kk_fill, kk_emits = fill_keccak(kk_log, keccak_log2)
+
     # program fetch multiplicities
     fetch_rows = ((trace.steps["pc"].astype(np.int64)
                    - lay.program_start) // 4)
@@ -254,7 +274,7 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
     mi_mult[g_addrs // 4] = 1
 
     mults = _table_mults(comps, fixed_sizes,
-                         cpu_emit_list + [mext_emits,
+                         cpu_emit_list + [mext_emits, kk_emits,
                          _memside_emits(ram_fill, out_fill)])
 
     log_sizes, traces = [], []
@@ -282,6 +302,9 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
         elif comp.name == "mext":
             log_sizes.append(mext_log)
             traces.append(MEXT_SCHEMA.to_columns(mext_fill))
+        elif comp.name == "keccak":
+            log_sizes.append(keccak_log2)
+            traces.append(KECCAK_SCHEMA.to_columns(kk_fill))
         else:
             log_sizes.append(fixed_sizes[comp.name])
             traces.append([mults[comp.name]])

@@ -78,49 +78,57 @@ def batch_compress(h, m, t: int, last: bool):
     """
     h = jnp.asarray(h, jnp.uint32)
     m = jnp.asarray(m, jnp.uint32)
-    iv = jnp.asarray(_IV)
-    v = jnp.concatenate(
-        [h, jnp.broadcast_to(iv, h.shape[:-1] + (8,))], axis=-1)
-    v = v.at[..., 12].set(v[..., 12] ^ jnp.uint32(t & 0xFFFFFFFF))
-    v = v.at[..., 13].set(v[..., 13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF))
+    shape = h.shape[:-1]
+    v = [h[..., i] for i in range(8)] + \
+        [jnp.broadcast_to(jnp.uint32(_IV[i]), shape) for i in range(8)]
+    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
+    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
     if last:
-        v = v.at[..., 14].set(v[..., 14] ^ jnp.uint32(0xFFFFFFFF))
+        v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
 
     # (10, ..., 16): message words in per-round sigma order
     mperm = m[..., jnp.asarray(_SIGMA)]          # (..., 10, 16)
     mperm = jnp.moveaxis(mperm, -2, 0)
 
-    # column/diagonal index patterns of the 8 G applications (static)
-    rows = np.array(
-        [[0, 4, 8, 12], [1, 5, 9, 13], [2, 6, 10, 14], [3, 7, 11, 15],
-         [0, 5, 10, 15], [1, 6, 11, 12], [2, 7, 8, 13], [3, 4, 9, 14]],
-        np.int32)
-
-    def g_half(a, b, c, d, x, rot_d, rot_b):
+    def g(a, b, c, d, x, y):
         a = a + b + x
-        d = _ror(d ^ a, rot_d)
+        d = _ror(d ^ a, 16)
         c = c + d
-        b = _ror(b ^ c, rot_b)
+        b = _ror(b ^ c, 12)
+        a = a + b + y
+        d = _ror(d ^ a, 8)
+        c = c + d
+        b = _ror(b ^ c, 7)
         return a, b, c, d
 
-    def round_fn(r, v):
+    def round_fn(r, vt):
+        # pure tuple carry — no scatter ops (cheap to trace/compile)
+        v = list(vt)
         ms = mperm[r]
-        for gi in range(8):
-            ia, ib, ic, id_ = (int(rows[gi, 0]), int(rows[gi, 1]),
-                               int(rows[gi, 2]), int(rows[gi, 3]))
-            a, b, c, d = (v[..., ia], v[..., ib], v[..., ic], v[..., id_])
-            a, b, c, d = g_half(a, b, c, d, ms[..., 2 * gi], 16, 12)
-            a, b, c, d = g_half(a, b, c, d, ms[..., 2 * gi + 1], 8, 7)
-            for idx, val in zip((ia, ib, ic, id_), (a, b, c, d)):
-                v = v.at[..., idx].set(val)
-        return v
+        mw = [ms[..., i] for i in range(16)]
+        v[0], v[4], v[8], v[12] = g(v[0], v[4], v[8], v[12], mw[0], mw[1])
+        v[1], v[5], v[9], v[13] = g(v[1], v[5], v[9], v[13], mw[2], mw[3])
+        v[2], v[6], v[10], v[14] = g(v[2], v[6], v[10], v[14], mw[4],
+                                     mw[5])
+        v[3], v[7], v[11], v[15] = g(v[3], v[7], v[11], v[15], mw[6],
+                                     mw[7])
+        v[0], v[5], v[10], v[15] = g(v[0], v[5], v[10], v[15], mw[8],
+                                     mw[9])
+        v[1], v[6], v[11], v[12] = g(v[1], v[6], v[11], v[12], mw[10],
+                                     mw[11])
+        v[2], v[7], v[8], v[13] = g(v[2], v[7], v[8], v[13], mw[12],
+                                    mw[13])
+        v[3], v[4], v[9], v[14] = g(v[3], v[4], v[9], v[14], mw[14],
+                                    mw[15])
+        return tuple(v)
 
     import jax
     # round 0 unrolled: under shard_map the carry must already be
     # "varying" over the mesh axis (it mixes the sharded message)
-    v = round_fn(0, v)
-    v = jax.lax.fori_loop(1, 10, round_fn, v)
-    return h ^ v[..., :8] ^ v[..., 8:]
+    vt = round_fn(0, tuple(v))
+    vt = jax.lax.fori_loop(1, 10, round_fn, vt)
+    out = [h[..., i] ^ vt[i] ^ vt[i + 8] for i in range(8)]
+    return jnp.stack(out, axis=-1)
 
 
 @functools.partial(jax.jit)

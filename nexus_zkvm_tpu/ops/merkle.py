@@ -46,32 +46,59 @@ def _group_by_depth(columns):
 
 @dataclass
 class MerkleTree:
-    """Committed tree: layers[d] is the (2^d, 8) digest array at depth d."""
-    layers: list          # device or numpy arrays; see layer()
-    columns: list         # the committed columns (numpy uint32), caller order
+    """Committed tree: layers[d] is the (2^d, 8) digest array at depth d.
+
+    Layers and columns stay on device; queries gather only the needed
+    rows (a few KB) instead of materializing whole layers on the host —
+    essential when the device link is a narrow tunnel.  Uniform-depth
+    trees keep their columns as ONE (C, 2^d) matrix so openings are a
+    single gather.
+    """
+    layers: list          # device (or numpy) digest arrays
+    columns: list         # committed columns (ignored if matrix set)
     by_depth: dict        # depth -> list of column indices
+    matrix: object = None  # (C, 2^max_depth) device matrix, optional
 
     @property
     def max_depth(self) -> int:
         return len(self.layers) - 1
 
-    def layer(self, d: int) -> np.ndarray:
-        if not isinstance(self.layers[d], np.ndarray):
-            self.layers[d] = np.asarray(self.layers[d])
-        return self.layers[d]
+    def layer_rows(self, d: int, positions) -> np.ndarray:
+        """(len(positions), 8) digests from depth d (device gather)."""
+        idx = jnp.asarray(np.asarray(positions, np.int64))
+        return np.asarray(jnp.asarray(self.layers[d])[idx])
+
+    def column_rows(self, ci: int, positions) -> np.ndarray:
+        idx = jnp.asarray(np.asarray(positions, np.int64))
+        if self.matrix is not None:
+            return np.asarray(self.matrix[ci][idx])
+        return np.asarray(jnp.asarray(self.columns[ci])[idx])
+
+    def all_column_rows(self, positions) -> np.ndarray:
+        """(C, len(positions)) — one gather for matrix trees."""
+        idx = jnp.asarray(np.asarray(positions, np.int64))
+        assert self.matrix is not None
+        return np.asarray(self.matrix[:, idx])
 
     def root(self) -> np.ndarray:
-        return self.layer(0)[0]
+        return np.asarray(self.layers[0])[0]
 
 
 def commit(columns) -> MerkleTree:
     """Commit to a list of power-of-two-sized uint32 columns.
 
-    Layers stay on device (async); `MerkleTree` materializes them to
-    host numpy lazily on first access (root/decommit), so the commit
-    itself never blocks."""
+    Columns may be jnp or numpy; everything stays on device (async) —
+    only root/decommit pull (tiny) data to the host."""
     assert columns, "cannot commit to zero columns"
-    cols = [np.asarray(c, dtype=np.uint32) for c in columns]
+    if all(c.shape[0] == columns[0].shape[0] for c in columns):
+        if len(columns) == 1:
+            m = jnp.asarray(columns[0])[None, :]
+        elif all(isinstance(c, np.ndarray) for c in columns):
+            m = jnp.asarray(np.stack(columns))
+        else:
+            m = jnp.stack([jnp.asarray(c) for c in columns])
+        return commit_matrix(m)
+    cols = [jnp.asarray(c) for c in columns]
     by_depth = _group_by_depth(cols)
     max_depth = max(by_depth)
 
@@ -82,11 +109,29 @@ def commit(columns) -> MerkleTree:
         if below is not None:
             parts.append(below.reshape(1 << d, 16))
         for ci in by_depth.get(d, ()):
-            parts.append(jnp.asarray(cols[ci])[:, None])
+            parts.append(cols[ci][:, None])
         msg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
         below = batch_blake2s_words(msg)
-        layers[d] = below            # device array; converted lazily
+        layers[d] = below
     return MerkleTree(layers=layers, columns=cols, by_depth=by_depth)
+
+
+def commit_matrix(matrix) -> MerkleTree:
+    """Uniform-depth commit: matrix (C, 2^d) device array, columns are
+    the rows.  Leaves hash the transposed matrix; values identical to
+    `commit([matrix[0], ..., matrix[C-1]])`."""
+    matrix = jnp.asarray(matrix)
+    C, n = matrix.shape
+    d = _log2(n)
+    layers: list = [None] * (d + 1)
+    below = batch_blake2s_words(matrix.T)
+    layers[d] = below
+    for dd in range(d - 1, -1, -1):
+        below = batch_blake2s_words(below.reshape(1 << dd, 16))
+        layers[dd] = below
+    by_depth = {d: list(range(C))}
+    return MerkleTree(layers=layers, columns=[], by_depth=by_depth,
+                      matrix=matrix)
 
 
 @dataclass
@@ -109,19 +154,23 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
     """Open the tree at the given bottom-layer query positions."""
     queries = sorted(set(int(q) for q in queries))
     out = MerkleDecommitment()
-    for ci, col in enumerate(tree.columns):
-        d = _log2(col.shape[0])
-        pos = _positions_at(queries, tree.max_depth, d)
-        out.column_values.append(col[np.asarray(pos, dtype=np.int64)])
+    if tree.matrix is not None:
+        vals = tree.all_column_rows(queries)       # one gather
+        out.column_values.extend(vals[c] for c in range(vals.shape[0]))
+    else:
+        for ci, col in enumerate(tree.columns):
+            d = _log2(col.shape[0])
+            pos = _positions_at(queries, tree.max_depth, d)
+            out.column_values.append(tree.column_rows(ci, pos))
 
     pos = queries
     for d in range(tree.max_depth, 0, -1):
-        layer = tree.layer(d)
         pos_set = set(pos)
-        for p in pos:
-            sib = p ^ 1
-            if sib not in pos_set:
-                out.sibling_hashes.append(layer[sib])
+        sibs = [p ^ 1 for p in pos if (p ^ 1) not in pos_set]
+        if sibs:
+            rows = tree.layer_rows(d, sibs)
+            for r in rows:
+                out.sibling_hashes.append(r)
         pos = sorted({p >> 1 for p in pos})
     return out
 

@@ -92,10 +92,13 @@ def accumulate_quotients(log_size: int, columns, samples, gamma,
     (sample, column) term gets coefficient gamma^(gamma_offset + k).
     Returns a (2^log_size, 4) uint32 device array.
     """
+    from .field import m31_mul, m31_fold_sum
+
     xs, ys = committed_points(log_size)
     x_p = jnp.asarray(xs)
     y_p = jnp.asarray(ys)
     gamma = np.asarray(gamma, np.uint64)
+    columns = jnp.asarray(columns)            # (C, M) matrix
 
     total = None
     k = gamma_offset
@@ -111,19 +114,23 @@ def accumulate_quotients(log_size: int, columns, samples, gamma,
                      qm31_mul(jnp.asarray(np.asarray(dx, np.uint32)), vy))
         inv_V = qm31_inv(V)
 
-        # N(p) = sum_k g^k * (c_k f_k(p) - a_k y_p - b_k)
-        num = None
+        # N(p) = sum_k g^k * (c_k f_k(p) - a_k y_p - b_k); the column
+        # terms batch into one modular weighted fold per coordinate
         A = np.zeros(4, np.uint64)
         B = np.zeros(4, np.uint64)
-        for ci, v in zip(s.columns, s.values):
+        gcs = np.zeros((len(s.columns), 4), np.uint64)
+        for j, (ci, v) in enumerate(zip(s.columns, s.values)):
             a, b, c = line_coeffs(z_y, v)
             g = np_qm31_pow(gamma, k)
             k += 1
-            gc = np.asarray(np_qm31_mul(g, c), np.uint32)
-            term = qm31_mul_m31(jnp.asarray(gc), jnp.asarray(columns[ci]))
-            num = term if num is None else qm31_add(num, term)
+            gcs[j] = np_qm31_mul(g, c)
             A = np_qm31_add(A, np_qm31_mul(g, a))
             B = np_qm31_add(B, np_qm31_mul(g, b))
+        sel = columns[jnp.asarray(np.asarray(s.columns, np.int64))]
+        gcs_d = jnp.asarray(gcs.astype(np.uint32))       # (K, 4)
+        coords = [m31_fold_sum(m31_mul(sel, gcs_d[:, t, None]), axis=0)
+                  for t in range(4)]
+        num = jnp.stack(coords, axis=-1)                 # (M, 4)
         num = qm31_sub(num, qm31_mul_m31(jnp.asarray(A.astype(np.uint32)),
                                          y_p))
         num = qm31_sub(num, jnp.asarray(B.astype(np.uint32)))

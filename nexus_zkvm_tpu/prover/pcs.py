@@ -9,10 +9,13 @@ design (TPU-first):
   positions ``{p, p^1}`` whose paths shrink ``q >> 1`` per FRI fold,
   and each tree commit is a stack of equal-length rows (one batched
   Blake2s kernel per layer, no mixed-depth injection);
-* committed order is bit-reversed layout (see `ops/circle.py`).
+* committed order is bit-reversed layout (see `ops/circle.py`);
+* all column data lives in (C, N) device MATRICES end to end —
+  per-column python lists would give XLA graphs with thousands of
+  parameters and saturate a tunneled device link with transfers.
 
-Columns enter in **natural row order** and leave as (coeffs, committed
-evals, trees).
+Columns enter in **natural row order** (numpy) and stay on device as
+(coeff batches, committed eval matrices, trees).
 """
 
 from __future__ import annotations
@@ -36,8 +39,8 @@ class RoleCommitment:
     role: str
     trace_logs: list          # per column (plan order within role)
     log_blowup: int
-    coeffs: list              # per column: np (2^n,) uint32, bitrev layout
-    evals: dict               # eval_log -> (C, 2^s) np uint32, committed order
+    coeff_batches: dict       # n -> (col index list, (Cn, 2^n) device)
+    evals: dict               # eval_log -> (C, 2^s) device, committed
     cols_by_size: dict        # eval_log -> [column indices], plan order
     trees: dict               # eval_log -> merkle.MerkleTree
 
@@ -52,25 +55,32 @@ class RoleCommitment:
         for s, root in self.roots():
             channel.mix_u32s(root)
 
-    def evals_natural(self, col_idx: int, eval_log: int):
-        """Column evals on a (possibly larger) domain, natural order (jnp)."""
-        n = self.trace_logs[col_idx]
+    def coeff_rows(self, col_idxs):
+        """(len(col_idxs), 2^n) device batch (all same trace size)."""
+        ns = {self.trace_logs[i] for i in col_idxs}
+        assert len(ns) == 1
+        n = ns.pop()
+        idxs, batch = self.coeff_batches[n]
+        rowmap = {ci: r for r, ci in enumerate(idxs)}
+        rows = jnp.asarray(np.asarray([rowmap[i] for i in col_idxs],
+                                      np.int64))
+        return batch[rows], n
+
+    def evals_natural_matrix(self, col_idxs, eval_log: int):
+        """(C, 2^eval_log) natural-order eval matrix (device)."""
+        if not col_idxs:
+            return None
+        batch, n = self.coeff_rows(col_idxs)
         assert eval_log >= n
-        ev = cfft.evaluate(jnp.asarray(self.coeffs[col_idx]), eval_log)
-        return ev[jnp.asarray(natural_to_layout(eval_log))]
+        ev = cfft.evaluate(batch, eval_log)
+        return ev[:, jnp.asarray(natural_to_layout(eval_log))]
 
     def evals_natural_many(self, col_idxs, eval_log: int):
-        """Batched `evals_natural`: one stacked FFT for many columns of
-        the same trace size."""
-        if not col_idxs:
-            return []
-        sizes = {self.trace_logs[i] for i in col_idxs}
-        assert len(sizes) == 1 and eval_log >= sizes.pop()
-        batch = jnp.stack([jnp.asarray(self.coeffs[i])
-                           for i in col_idxs])
-        ev = cfft.evaluate(batch, eval_log)
-        ev = ev[:, jnp.asarray(natural_to_layout(eval_log))]
-        return [ev[j] for j in range(ev.shape[0])]
+        ev = self.evals_natural_matrix(col_idxs, eval_log)
+        return [] if ev is None else [ev[j] for j in range(ev.shape[0])]
+
+    def evals_natural(self, col_idx: int, eval_log: int):
+        return self.evals_natural_many([col_idx], eval_log)[0]
 
     def open(self, positions_by_size: dict):
         """[(eval_log, MerkleDecommitment)] descending by size."""
@@ -78,48 +88,54 @@ class RoleCommitment:
                 for s in self.sizes_desc()]
 
 
-def _commit_groups(role, trace_logs, coeffs_by_col, log_blowup):
+def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
     cols_by_size, evals, trees = {}, {}, {}
     for i in range(len(trace_logs)):
         s = trace_logs[i] + log_blowup
         cols_by_size.setdefault(s, []).append(i)
     for s, idxs in sorted(cols_by_size.items(), reverse=True):
-        batch = jnp.stack([jnp.asarray(coeffs_by_col[i]) for i in idxs])
+        n = s - log_blowup
+        b_idxs, batch = coeff_batches[n]
+        assert b_idxs == idxs
         ev = cfft.evaluate(batch, s)                      # layout order
-        ev = ev[:, jnp.asarray(bit_reverse_indices(s))]   # committed order
-        evals[s] = np.asarray(ev)
-        trees[s] = merkle.commit([ev[j] for j in range(ev.shape[0])])
+        ev = ev[:, jnp.asarray(bit_reverse_indices(s))]   # committed
+        evals[s] = ev
+        trees[s] = merkle.commit_matrix(ev)
     return RoleCommitment(role=role, trace_logs=list(trace_logs),
                           log_blowup=log_blowup,
-                          coeffs=[np.asarray(c) for c in coeffs_by_col],
+                          coeff_batches=coeff_batches,
                           evals=evals, cols_by_size=cols_by_size,
                           trees=trees)
 
 
 def commit_columns(role: str, columns, trace_logs, log_blowup: int
                    ) -> RoleCommitment:
-    """columns: natural-order uint32 arrays, sizes 2^trace_logs[i]."""
-    coeffs = [None] * len(columns)
+    """columns: natural-order numpy uint32 arrays of sizes
+    2^trace_logs[i] (host); stacked per size on the host, shipped to
+    device once."""
     by_n = {}
     for i, n in enumerate(trace_logs):
         by_n.setdefault(n, []).append(i)
+    coeff_batches = {}
     for n, idxs in by_n.items():
-        batch = jnp.stack([jnp.asarray(columns[i], jnp.uint32)
-                           for i in idxs])
-        # layout_val[l] = natural_val[layout_to_natural[l]]
-        batch = batch[:, jnp.asarray(layout_to_natural(n))]
-        cf = cfft.interpolate(batch)
-        cf = np.asarray(cf)
-        for j, i in enumerate(idxs):
-            coeffs[i] = cf[j]
-    return _commit_groups(role, trace_logs, coeffs, log_blowup)
+        batch = np.stack([np.asarray(columns[i], np.uint32)
+                          for i in idxs])
+        batch = batch[:, layout_to_natural(n)]
+        cf = cfft.interpolate(jnp.asarray(batch))
+        coeff_batches[n] = (idxs, cf)
+    return _commit_groups(role, trace_logs, coeff_batches, log_blowup)
 
 
 def commit_from_coeffs(role: str, coeffs, trace_logs, log_blowup: int
                        ) -> RoleCommitment:
-    return _commit_groups(role, list(trace_logs),
-                          [np.asarray(c, np.uint32) for c in coeffs],
-                          log_blowup)
+    by_n = {}
+    for i, n in enumerate(trace_logs):
+        by_n.setdefault(n, []).append(i)
+    coeff_batches = {}
+    for n, idxs in by_n.items():
+        coeff_batches[n] = (idxs, jnp.stack(
+            [jnp.asarray(coeffs[i]) for i in idxs]))
+    return _commit_groups(role, trace_logs, coeff_batches, log_blowup)
 
 
 def open_positions(queries, s0: int, s: int):

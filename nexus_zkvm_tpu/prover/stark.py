@@ -330,21 +330,25 @@ def prove(components, log_sizes, main_traces, channel,
     for c, comp in enumerate(components):
         n = log_sizes[c]
         ev_log = n + 2
-        main_evals = rc_main.evals_natural_many(
+        main_evals = rc_main.evals_natural_matrix(
             [plan.metas[i].ridx for i in plan.by_role["main"]
              if plan.metas[i].comp == c], ev_log)
-        pre_evals = rc_pre.evals_natural_many(
+        pre_evals = rc_pre.evals_natural_matrix(
             [plan.metas[i].ridx for i in plan.by_role["pre"]
              if plan.metas[i].comp == c], ev_log)
         isf_idx = plan.index[("pre", -1,
                               ("is_first", plan.pre_sizes.index(n)))]
         isf_evals = rc_pre.evals_natural(plan.metas[isf_idx].ridx, ev_log)
-        inter_flat = rc_inter.evals_natural_many(
-            [plan.metas[plan.index[("inter", c, (b, t))]].ridx
-             for b in range(infos[c].n_logup_cols) for t in range(4)],
-            ev_log) if infos[c].n_logup_cols else []
-        inter_evals = [jnp.stack(inter_flat[4 * b:4 * b + 4], axis=-1)
-                       for b in range(infos[c].n_logup_cols)]
+        if infos[c].n_logup_cols:
+            inter_flat = rc_inter.evals_natural_matrix(
+                [plan.metas[plan.index[("inter", c, (b, t))]].ridx
+                 for b in range(infos[c].n_logup_cols)
+                 for t in range(4)], ev_log)            # (4B, M)
+            inter_evals = jnp.transpose(
+                inter_flat.reshape(infos[c].n_logup_cols, 4, -1),
+                (0, 2, 1))                              # (B, M, 4)
+        else:
+            inter_evals = []
         acc, k = run_constraints_domain(
             comp, main_evals, pre_evals, inter_evals, isf_evals,
             relations, claimed_sums[c], alpha)
@@ -370,24 +374,27 @@ def prove(components, log_sizes, main_traces, channel,
         "comp", [comp_coeffs[t] for t in range(4)], [comp_log] * 4, blowup)
     rc_comp.mix_roots(channel)
 
-    # -- OODS sampling: batched device dot per (size, offset) group -------
+    # -- OODS sampling: batched device dot per (role, size, offset) -------
     t_felt = channel.draw_felt()
     z = oods_point_from_felt(t_felt)
     rcs = {"pre": rc_pre, "main": rc_main, "inter": rc_inter,
            "comp": rc_comp}
-    groups = {}                   # (tlog, off) -> [(plan idx, off idx)]
+    groups = {}               # (role, tlog, off) -> [(plan idx, off idx)]
     for i, m in enumerate(plan.metas):
         for oi, o in enumerate(m.offsets):
-            groups.setdefault((m.trace_log, o), []).append((i, oi))
+            groups.setdefault((m.role, m.trace_log, o),
+                              []).append((i, oi))
     sampled = [np.zeros((len(m.offsets), 4), np.uint64)
                for m in plan.metas]
-    for (tlog, off), members in groups.items():
-        basis = cfft.point_basis(tlog, _point_for(z, tlog, off))
-        cols = jnp.stack([jnp.asarray(
-            rcs[plan.metas[i].role].coeffs[plan.metas[i].ridx])
-            for i, _ in members])                       # (C, N)
-        vals = np.asarray(_oods_dot(cols, jnp.asarray(
-            basis.astype(np.uint32))), np.uint64)       # (C, 4)
+    basis_cache = {}
+    for (role, tlog, off), members in groups.items():
+        key = (tlog, off)
+        if key not in basis_cache:
+            basis_cache[key] = jnp.asarray(cfft.point_basis(
+                tlog, _point_for(z, tlog, off)).astype(np.uint32))
+        cols, _n = rcs[role].coeff_rows(
+            [plan.metas[i].ridx for i, _ in members])
+        vals = np.asarray(_oods_dot(cols, basis_cache[key]), np.uint64)
         for (i, oi), v in zip(members, vals):
             sampled[i][oi] = v
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
@@ -398,12 +405,20 @@ def prove(components, log_sizes, main_traces, channel,
     samples_by_size = _build_samples(plan, z, sampled)
     fri_inputs, offset = {}, 0
     for s in sorted(plan.groups, reverse=True):
-        cols = []
+        # gather the group's eval rows role by role, then concat — the
+        # group index order must match samples_by_size's column order
+        parts, part_roles = [], []
         for i in plan.groups[s]:
             m = plan.metas[i]
-            rc = rcs[m.role]
-            row = rc.cols_by_size[s].index(m.ridx)
-            cols.append(jnp.asarray(rc.evals[s][row]))
+            if not part_roles or part_roles[-1][0] != m.role:
+                part_roles.append((m.role, []))
+            part_roles[-1][1].append(m.ridx)
+        for role, ridxs in part_roles:
+            rc = rcs[role]
+            rows = jnp.asarray(np.asarray(
+                [rc.cols_by_size[s].index(r) for r in ridxs], np.int64))
+            parts.append(rc.evals[s][rows])
+        cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         fri_inputs[s] = quotients.accumulate_quotients(
             s, cols, samples_by_size[s], gamma, offset)
         offset += quotients.n_terms(samples_by_size[s])

@@ -102,6 +102,14 @@ def assemble_instructions(source: str, base: int = 0) -> list:
         elif mn == "ret":
             mn, args = "jalr", ["x0", "0(ra)"]
 
+        if mn == "precompile":
+            # precompile IDX, rd, rs1, rs2
+            out.append(Instruction(Opcode.PRECOMPILE, InstrType.CUSTOM,
+                                   rd=_reg(args[1]), rs1=_reg(args[2]),
+                                   rs2=_reg(args[3]),
+                                   imm=_int(args[0]) & 0x3FF))
+            continue
+
         opc = Opcode[mn.upper()]
         t = ENCODING[opc][0]
         if t == InstrType.R or t == InstrType.CUSTOM:

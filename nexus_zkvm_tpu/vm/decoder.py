@@ -80,6 +80,10 @@ def decode_instruction(word: int) -> Instruction:
     if op7 == (KECCAKF_OPCODE & 0x7F):
         return Instruction(Opcode.KECCAKF, InstrType.CUSTOM, rd=rd,
                            rs1=rs1, rs2=rs2, word=word)
+    if op7 == 0x0B:  # custom-0: dynamic precompile, index in f7*8+f3
+        return Instruction(Opcode.PRECOMPILE, InstrType.CUSTOM, rd=rd,
+                           rs1=rs1, rs2=rs2, imm=(f7 << 3) | f3,
+                           word=word)
 
     for key in ((op7, f3, f7), (op7, f3, None), (op7, None, None)):
         opc = BY_ENCODING.get(key)

@@ -134,6 +134,7 @@ class _EmulatorBase:
         self.basic_block_cache: dict = {}
         self.recorder: TraceRecorder | None = None
         self._pending_mem = None
+        self.keccak_log: list = []
 
     # -- memory interface provided by subclasses -----------------------
     def fetch_word(self, addr: int) -> int:
@@ -246,7 +247,7 @@ class _EmulatorBase:
             # EBREAK: nop
         elif t == InstrType.CUSTOM:
             c_val = int(regs[rs2])
-            self.execute_custom(ins, b_val, c_val)
+            wrote, a_val = self.execute_custom(ins, b_val, c_val)
         else:
             raise VMError(f"unimplemented instruction at {pc:#x}: "
                           f"{ins.word:#010x}")
@@ -320,11 +321,29 @@ class _EmulatorBase:
         if ins.opcode == Opcode.KECCAKF:
             from .keccak import keccak_f1600_words
             state = [self.mem_read(b_val + 4 * i, 4) for i in range(50)]
+            # one recorded access pair per word: the AIR consumes the
+            # pre-state at ts_prev and emits the post-state at clk
+            prev_ts = []
+            for i in range(50):
+                _pv, pt = self.mem_prev(b_val + 4 * i, 4)
+                prev_ts.append(pt)
             out = keccak_f1600_words(state)
             for i, w in enumerate(out):
                 self.mem_write(b_val + 4 * i, 4, w)
-        else:
-            raise VMError(f"unknown custom instruction {ins.word:#x}")
+            self.keccak_log.append({
+                "clk": self.global_clock, "addr": b_val,
+                "in_words": list(state), "out_words": list(out),
+                "prev_ts": prev_ts,
+            })
+            return False, 0
+        if ins.opcode == Opcode.PRECOMPILE:
+            from ..precompiles import get as get_precompile
+            p = get_precompile(ins.imm)
+            if p is None:
+                raise VMError(f"unregistered precompile {ins.imm}")
+            val = p.native_call(self, b_val, c_val) & M32
+            return p.writes_rd(), val
+        raise VMError(f"unknown custom instruction {ins.word:#x}")
 
     # -- syscalls (`/root/reference/vm/src/system/syscall.rs`) ---------
     def execute_syscall(self):
@@ -705,6 +724,7 @@ class LinearEmulator(_EmulatorBase):
             "final_regs": self.regs.copy(),
             "final_reg_ts": self.reg_last_ts.copy(),
             "ram_final": words,
+            "keccak_log": list(self.keccak_log),
         }
 
     # -- finalize: the public IO claim --------------------------------

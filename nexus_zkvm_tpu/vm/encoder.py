@@ -22,6 +22,10 @@ def encode_instruction(ins: Instruction) -> int:
         return 0x0010_0073
     if opc == Opcode.UNIMPL:
         return 0xC000_0073
+    if opc == Opcode.PRECOMPILE:
+        idx = ins.imm & 0x3FF
+        return ((idx >> 3) << 25) | (ins.rs2 << 20) | (ins.rs1 << 15) \
+            | ((idx & 7) << 12) | (ins.rd << 7) | 0x0B
     t, op7, f3, f7 = ENCODING[opc]
     imm = ins.imm & 0xFFFF_FFFF
     if t in (InstrType.R, InstrType.CUSTOM):

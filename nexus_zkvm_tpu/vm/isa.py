@@ -44,6 +44,7 @@ class Opcode(enum.IntEnum):
     UNIMPL = 48
     # custom instruction space (not part of the reference enum numbering)
     KECCAKF = 64
+    PRECOMPILE = 65     # dynamic precompile; index in Instruction.imm
 
     @property
     def mnemonic(self) -> str:

@@ -92,13 +92,18 @@ def k_trace(program_words, entry: int | None = None,
 
     if backend in ("native", "auto"):
         from .native_trace import k_trace_native, native_available
+        from .isa import Opcode
         if native_available():
-            return k_trace_native(
+            view, trace = k_trace_native(
                 program_words, entry=entry, rom_image=rom_image,
                 ram_image=ram_image, public_input=public_input,
                 private_input=private_input, ad=ad, k=k,
                 max_steps=max_steps)
-        if backend == "native":
+            # the C core does not record keccak state logs yet; the
+            # machine AIR needs them, so fall back for such traces
+            if not (trace.steps["opcode"] == int(Opcode.KECCAKF)).any():
+                return view, trace
+        elif backend == "native":
             raise RuntimeError("native emulator unavailable")
 
     harv = HarvardEmulator(program_words, base=ELF_TEXT_START, entry=entry,

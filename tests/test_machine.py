@@ -246,6 +246,28 @@ def test_fib_constraints():
     """ + EXIT)
 
 
+def test_keccak_constraints():
+    """keccakf custom instruction: permutation circuit + RAM binding."""
+    view, trace = k_trace(asm.assemble("""
+        addi a7, zero, 0x403    # heap pointer
+        ecall
+        mv   t1, a0
+        li   t2, 0xdeadbeef     # seed a couple of state words
+        sw   t2, 0(t1)
+        sw   t2, 196(t1)
+        keccakf x0, t1, x0
+        lw   t3, 0(t1)          # read a permuted word back
+        keccakf x0, t1, x0      # permute twice
+    """ + EXIT))
+    assert len(trace.machine_state["keccak_log"]) == 2
+    # KAT: zero-seeded lanes move
+    first = trace.machine_state["keccak_log"][0]
+    assert first["in_words"][0] == 0xdeadbeef
+    assert first["out_words"][0] != 0xdeadbeef
+    comps, log_sizes, traces = machine_traces(view, trace)
+    assert_constraints(comps, log_sizes, traces)
+
+
 def test_segmented_constraints():
     """Multi-segment execution: chains connect across CPU components."""
     view, trace = k_trace(asm.assemble("""
@@ -328,3 +350,23 @@ def test_prove_verify_machine():
     bad_view = copy.deepcopy(view)
     bad_view.exit_code = 1
     assert not verify_machine(bad_view, proof, CFG)
+
+
+@pytest.mark.slow
+def test_prove_verify_keccak():
+    view, trace = k_trace(asm.assemble("""
+        addi a7, zero, 0x403
+        ecall
+        mv   t1, a0
+        li   t2, 0x12345678
+        sw   t2, 4(t1)
+        keccakf x0, t1, x0
+        lw   t3, 8(t1)
+        lw   t4, 0x84(zero)
+        sw   t3, 0(t4)
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """))
+    proof = prove_machine(view, trace, CFG)
+    assert verify_machine(view, proof, CFG)
