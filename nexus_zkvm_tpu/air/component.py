@@ -580,8 +580,15 @@ def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
     randomness are traced inputs, so repeat proofs hit the persistent
     compilation cache.
     """
+    def _ncols(x):
+        if x is None:
+            return 0
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return int(x.shape[0])
+        return len(x)
+
     key = ("dom", component.jit_key(), _relations_key(relations),
-           len(main_evals), len(pre_evals), len(inter_evals),
+           _ncols(main_evals), _ncols(pre_evals), _ncols(inter_evals),
            int(isf_evals.shape[0]))
     fn = _DOMAIN_JIT.get(key)
     if fn is None:

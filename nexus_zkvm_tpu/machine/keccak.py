@@ -207,8 +207,13 @@ class KeccakComponent(Component):
         rc_full_idx = np.where(rc_sel >= 0, rc_sel, 0)
         rc_mask = (rc_sel >= 0).astype(np.uint32)
         rc_gather = gather(rc, rc_full_idx)
+        # rc_m broadcasts over the *row* axes only; when rc_gather is
+        # already a QM31 value (verifier point context) its trailing
+        # axis is the coordinate axis and must NOT get a singleton
+        # (qm31_mul_m31 appends the coord axis itself)
+        row_nd = rc_gather.v.ndim - (1 if rc_gather.kind == "qm31" else 0)
         rc_m = Felt(xp.asarray(rc_mask).reshape(
-            (1600,) + (1,) * (rc_gather.v.ndim - 1)), "m31", be, 0)
+            (1600,) + (1,) * (row_nd - 1)), "m31", be, 0)
         rc_full = rc_gather * rc_m                   # 0 where no rc
         nxt = xor2(A1, rc_full)
         ctx.constraint_vec((ar * (nxt - e)).as_qm31().v, 1600)
@@ -260,44 +265,59 @@ class KeccakComponent(Component):
             ctx.add_fraction(1, "r64", [c("mtsd", 4 * w + 3)])
 
 
-def _states_per_round(in_words: np.ndarray) -> np.ndarray:
-    """(P, 50) pre-states -> (P, 25, 25) uint64 lane states per round."""
-    from ..vm.keccak import keccak_f1600
-    P = in_words.shape[0]
-    out = np.zeros((P, N_ROUNDS + 1, 25), np.uint64)
-    for p in range(P):
-        lanes = [(int(in_words[p, 2 * i])
-                  | (int(in_words[p, 2 * i + 1]) << 32))
-                 for i in range(25)]
-        out[p, 0] = lanes
-        for r in range(N_ROUNDS):
-            lanes = _one_round(lanes, r)
-            out[p, r + 1] = lanes
+def _rol64(x: np.ndarray, n: int) -> np.ndarray:
+    """Rotate-left uint64 arrays (numpy, element-wise)."""
+    n %= 64
+    if n == 0:
+        return x
+    return (x << np.uint64(n)) | (x >> np.uint64(64 - n))
+
+
+def _theta_c(a: np.ndarray) -> np.ndarray:
+    """(..., 25) lanes -> (..., 5) column parities."""
+    return (a[..., 0:5] ^ a[..., 5:10] ^ a[..., 10:15]
+            ^ a[..., 15:20] ^ a[..., 20:25])
+
+
+def _round_np(a: np.ndarray, r: int) -> np.ndarray:
+    """One keccak-f round, vectorized over leading axes; lane index is
+    x + 5*y (matches the wiring in `_wiring`)."""
+    from ..vm.keccak import _RC as RC, _ROT as ROT
+    c2 = _theta_c(a)
+    d = np.stack([c2[..., (x - 1) % 5] ^ _rol64(c2[..., (x + 1) % 5], 1)
+                  for x in range(5)], axis=-1)
+    a = a ^ d[..., np.arange(25) % 5]
+    b = np.empty_like(a)
+    for x in range(5):
+        for y in range(5):
+            b[..., y + 5 * ((2 * x + 3 * y) % 5)] = \
+                _rol64(a[..., x + 5 * y], ROT[x][y])
+    i = np.arange(25)
+    out = b ^ (~b[..., (i % 5 + 1) % 5 + 5 * (i // 5)]
+               & b[..., (i % 5 + 2) % 5 + 5 * (i // 5)])
+    out[..., 0] ^= np.uint64(RC[r])
     return out
 
 
-def _one_round(lanes, r):
-    from ..vm.keccak import _RC as RC, _ROT as ROT
-    M64 = (1 << 64) - 1
+def _states_per_round(in_words: np.ndarray) -> np.ndarray:
+    """(P, 50) pre-states -> (P, 25, 25) uint64 lane states per round
+    (vectorized over all permutations at once)."""
+    in_words = np.asarray(in_words, np.uint64)
+    P = in_words.shape[0]
+    out = np.zeros((P, N_ROUNDS + 1, 25), np.uint64)
+    lanes = in_words[:, 0::2] | (in_words[:, 1::2] << np.uint64(32))
+    out[:, 0] = lanes
+    for r in range(N_ROUNDS):
+        lanes = _round_np(lanes, r)
+        out[:, r + 1] = lanes
+    return out
 
-    def rol(x, n):
-        n %= 64
-        return ((x << n) | (x >> (64 - n))) & M64 if n else x
 
-    a = list(lanes)
-    # NB lane index is x + 5*y
-    c2 = [int(a[x]) ^ int(a[x+5]) ^ int(a[x+10]) ^ int(a[x+15])
-          ^ int(a[x+20]) for x in range(5)]
-    d = [c2[(x-1) % 5] ^ rol(c2[(x+1) % 5], 1) for x in range(5)]
-    a = [(int(a[i]) ^ d[i % 5]) for i in range(25)]
-    b = [0] * 25
-    for x in range(5):
-        for y in range(5):
-            b[y + 5*((2*x + 3*y) % 5)] = rol(a[x + 5*y], ROT[x][y])
-    a = [b[i] ^ ((~b[(i % 5 + 1) % 5 + 5*(i//5)]) & M64
-                 & b[(i % 5 + 2) % 5 + 5*(i//5)]) for i in range(25)]
-    a[0] ^= RC[r]
-    return a
+def _bits(lanes: np.ndarray) -> np.ndarray:
+    """(..., L) uint64 -> (..., L*64) bit columns (z-major per lane)."""
+    z = np.arange(64, dtype=np.uint64)
+    b = (lanes[..., :, None] >> z) & np.uint64(1)
+    return b.reshape(lanes.shape[:-1] + (lanes.shape[-1] * 64,))
 
 
 def fill_keccak(keccak_log, log_size: int):
@@ -319,59 +339,53 @@ def fill_keccak(keccak_log, log_size: int):
         got[:, 1::2] = states[:, N_ROUNDS] >> 32
         assert np.array_equal(got, out_words), "keccak state mismatch"
 
-        for p, e in enumerate(keccak_log):
-            base = p * BLOCK
-            rows = slice(base, base + N_ROUNDS + 1)
-            # bits: a[row r] = state before round r
-            lanes = states[p]                          # (25, 25) u64
-            shifts = np.arange(64, dtype=np.uint64)
-            bits = ((lanes[:, :, None] >> shifts[None, None, :])
-                    & np.uint64(1)).astype(np.uint32)             # (25, 25lane, 64)
-            f["a"][rows] = bits.reshape(N_ROUNDS + 1, 1600)
-            f["act"][base:base + BLOCK] = 1
-            f["ar"][base:base + N_ROUNDS] = 1
-            # theta helpers + ap for round rows
-            for r in range(N_ROUNDS):
-                st = lanes[r]
-                c2 = [int(st[x]) ^ int(st[x+5]) ^ int(st[x+10])
-                      ^ int(st[x+15]) ^ int(st[x+20]) for x in range(5)]
-                for x in range(5):
-                    # per-bit column sum: sum of the 5 bits at each z
-                    z64 = np.arange(64, dtype=np.uint64)
-                    ssum = sum(((np.uint64(st[x + 5*y]) >> z64)
-                                & np.uint64(1)).astype(np.int64)
-                               for y in range(5))
-                    cbit = ((np.uint64(c2[x]) >> z64)
-                            & np.uint64(1)).astype(np.int64)
-                    f["th"][base + r, 64*x:64*x + 64] = \
-                        ((ssum - cbit) // 2).astype(np.uint32)
-                M64 = (1 << 64) - 1
+        # rows for permutation p occupy [p*BLOCK, p*BLOCK + BLOCK)
+        P = n_perms
+        a_rows = (np.arange(P)[:, None] * BLOCK
+                  + np.arange(N_ROUNDS + 1)[None, :]).ravel()
+        r_rows = (np.arange(P)[:, None] * BLOCK
+                  + np.arange(N_ROUNDS)[None, :]).ravel()
+        blk_rows = (np.arange(P)[:, None] * BLOCK
+                    + np.arange(BLOCK)[None, :]).ravel()
 
-                def rol(v, k):
-                    k %= 64
-                    return ((v << k) | (v >> (64 - k))) & M64 if k else v
-                d = [c2[(x-1) % 5] ^ rol(c2[(x+1) % 5], 1)
-                     for x in range(5)]
-                ap_lanes = np.array([int(st[i]) ^ d[i % 5]
-                                     for i in range(25)], np.uint64)
-                apb = ((ap_lanes[:, None]
-                        >> np.arange(64, dtype=np.uint64)[None, :])
-                       & np.uint64(1))
-                f["ap"][base + r] = apb.reshape(1600).astype(np.uint32)
-            # address/clk/ts columns for the whole block
-            addr = int(e["addr"])
-            for i in range(4):
-                f["ka"][base:base + BLOCK, i] = (addr >> (8 * i)) & 0xFF
-            f["kq"][base:base + BLOCK] = (addr & 0xFF) >> 2
-            f["kc"][base:base + BLOCK] = int(e["clk"])
-            pts = np.asarray(e["prev_ts"], np.uint64)
-            f["mtsp"][base:base + BLOCK] = pts[None, :]
-            tsd = int(e["clk"]) - pts - 1
-            for i in range(4):
-                cols = 4 * np.arange(50) + i
-                f["mtsd"][base:base + BLOCK, cols] = \
-                    ((tsd >> np.uint64(8 * i))
-                     & np.uint64(0xFF if i < 3 else 0x3F))[None, :]
+        # state bits: a[row r] = state before round r  (P, 25, 1600)
+        f["a"][a_rows] = _bits(states).reshape(-1, 1600)
+        f["act"][blk_rows] = 1
+        f["ar"][r_rows] = 1
+
+        # theta helpers + ap, all (perm, round) at once
+        st = states[:, :N_ROUNDS]                        # (P, R, 25)
+        c2 = _theta_c(st)                                # (P, R, 5)
+        ssum = _bits(st).reshape(P, N_ROUNDS, 25, 64)    # lane-bit grid
+        ssum = (ssum[:, :, 0:5] + ssum[:, :, 5:10] + ssum[:, :, 10:15]
+                + ssum[:, :, 15:20] + ssum[:, :, 20:25])  # (P, R, 5, 64)
+        cbit = _bits(c2).reshape(P, N_ROUNDS, 5, 64)
+        th = (ssum - cbit) // 2
+        f["th"][r_rows] = th.reshape(-1, 320).astype(np.uint32)
+        d = np.stack([c2[..., (x - 1) % 5]
+                      ^ _rol64(c2[..., (x + 1) % 5], 1)
+                      for x in range(5)], axis=-1)       # (P, R, 5)
+        ap_lanes = st ^ d[..., np.arange(25) % 5]        # (P, R, 25)
+        f["ap"][r_rows] = _bits(ap_lanes).reshape(-1, 1600) \
+            .astype(np.uint32)
+
+        # address/clk/ts columns, broadcast per block
+        addrs = np.array([int(e["addr"]) for e in keccak_log], np.uint64)
+        clks = np.array([int(e["clk"]) for e in keccak_log], np.uint64)
+        pts = np.array([e["prev_ts"] for e in keccak_log], np.uint64)
+        rep = np.repeat(np.arange(P), BLOCK)             # perm per row
+        for i in range(4):
+            f["ka"][blk_rows, i] = (addrs[rep] >> np.uint64(8 * i)) \
+                & np.uint64(0xFF)
+        f["kq"][blk_rows] = (addrs[rep] & np.uint64(0xFF)) >> np.uint64(2)
+        f["kc"][blk_rows] = clks[rep]
+        f["mtsp"][blk_rows] = pts[rep]
+        tsd = clks[:, None] - pts - 1                    # (P, 50)
+        for i in range(4):
+            cols = 4 * np.arange(50) + i
+            f["mtsd"][np.ix_(blk_rows, cols)] = \
+                ((tsd[rep] >> np.uint64(8 * i))
+                 & np.uint64(0xFF if i < 3 else 0x3F))
 
     emits["r256"] = [f["ka"][:, i].astype(np.int64) for i in range(3)] \
         + [f["mtsd"][:, 4 * w + i].astype(np.int64)

@@ -324,6 +324,9 @@ def prove(components, log_sizes, main_traces, channel,
         rc_inter.mix_roots(channel)
 
     # -- composition ------------------------------------------------------
+    import os as _os
+    _selftest = bool(_os.environ.get("NZT_PROVE_SELFTEST"))
+    comp_accs_dbg = {}
     alpha = np.asarray(channel.draw_felt(), np.uint64)
     shifts = _alpha_shifts(infos)
     buckets = {}
@@ -353,6 +356,9 @@ def prove(components, log_sizes, main_traces, channel,
             comp, main_evals, pre_evals, inter_evals, isf_evals,
             relations, claimed_sums[c], alpha)
         assert k == infos[c].n_constraints
+        if _selftest:
+            comp_accs_dbg[c] = (None if acc is None
+                                else np.asarray(acc, np.uint64))
         if acc is None:
             continue
         contrib = qm31_mul_m31(acc, inv_vanishing_natural(n, ev_log))
@@ -400,6 +406,11 @@ def prove(components, log_sizes, main_traces, channel,
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
                       .astype(np.uint32))
 
+    if _selftest:
+        _oods_selftest(components, infos, plan, log_sizes, relations,
+                       claimed_sums, alpha, z, sampled, rcs,
+                       comp_accs_dbg)
+
     # -- quotients + FRI ----------------------------------------------------
     gamma = np.asarray(channel.draw_felt(), np.uint64)
     samples_by_size = _build_samples(plan, z, sampled)
@@ -445,6 +456,178 @@ def prove(components, log_sizes, main_traces, channel,
                  openings=openings)
 
 
+def _oods_selftest(components, infos, plan, log_sizes, relations,
+                   claimed_sums, alpha, z, sampled, rcs, comp_accs):
+    """Debug cross-check (NZT_PROVE_SELFTEST=1): re-derive every OODS
+    sample per-column, and compare each component's verifier-side point
+    evaluation against the prover's domain accumulator evaluated at z."""
+    bad = 0
+    for i, m in enumerate(plan.metas):
+        cols1, _ = rcs[m.role].coeff_rows([m.ridx])
+        for oi, o in enumerate(m.offsets):
+            basis = jnp.asarray(cfft.point_basis(
+                m.trace_log, _point_for(z, m.trace_log, o)
+            ).astype(np.uint32))
+            v = np.asarray(_oods_dot(cols1, basis), np.uint64)[0]
+            if not np.array_equal(v, sampled[i][oi]):
+                bad += 1
+                print(f"[selftest] OODS sample mismatch meta={i} "
+                      f"{m.role}/{m.comp}/{m.key} off={o}: "
+                      f"{v} != {sampled[i][oi]}", flush=True)
+    print(f"[selftest] sampling: {bad} mismatches", flush=True)
+
+    shifts = _alpha_shifts(infos)
+    total = np.zeros(4, np.uint64)
+    for c, comp in enumerate(components):
+        n = log_sizes[c]
+        mask_vals = {}
+        for j in range(infos[c].n_pre):
+            i = plan.index[("pre", c, (j,))]
+            for oi, o in enumerate(plan.metas[i].offsets):
+                mask_vals[("pre", j, o)] = sampled[i][oi]
+        for jm in range(infos[c].n_main):
+            i = plan.index[("main", c, (jm,))]
+            for oi, o in enumerate(plan.metas[i].offsets):
+                mask_vals[("main", jm, o)] = sampled[i][oi]
+        for b in range(infos[c].n_logup_cols):
+            idxs = [plan.index[("inter", c, (b, t))] for t in range(4)]
+            for oi, o in enumerate(plan.metas[idxs[0]].offsets):
+                mask_vals[("inter", b, o)] = _qm31_reconstruct(
+                    [sampled[i][oi] for i in idxs])
+        isf_i = plan.index[("pre", -1,
+                            ("is_first", plan.pre_sizes.index(n)))]
+        mask_vals[("is_first", 0, 0)] = sampled[isf_i][0]
+        pctx = PointEvalContext(mask_vals, relations, claimed_sums[c],
+                                alpha, params=comp.params())
+        acc_pt, _k = run_constraints(comp, pctx)
+        pt_val = (np.zeros(4, np.uint64) if acc_pt is None
+                  else np.asarray(acc_pt.as_qm31().v, np.uint64))
+        # evaluate the prover's domain accumulator polynomial at z
+        acc_dom = comp_accs.get(c)
+        if acc_dom is None:
+            dom_val = np.zeros(4, np.uint64)
+        else:
+            ev_log = n + 2
+            arr = jnp.asarray(acc_dom.astype(np.uint32))
+            arr_layout = arr[jnp.asarray(layout_to_natural(ev_log))]
+            cf = cfft.interpolate(arr_layout.T)          # (4, 2^ev_log)
+            basis = jnp.asarray(cfft.point_basis(ev_log, z)
+                                .astype(np.uint32))
+            coords = np.asarray(_oods_dot(cf, basis), np.uint64)  # (4,4)
+            dom_val = np.zeros(4, np.uint64)
+            for t in range(4):
+                dom_val = np_qm31_add(dom_val, np_qm31_mul(
+                    _QM31_BASIS[t], coords[t]))
+        tag = "OK " if np.array_equal(pt_val, dom_val) else "BAD"
+        print(f"[selftest] comp {c} ({comp.name}): {tag} "
+              f"point={pt_val} domain@z={dom_val}", flush=True)
+        if tag == "BAD":
+            _selftest_per_constraint(comp, infos[c], plan, log_sizes, c,
+                                     relations, claimed_sums[c], alpha,
+                                     z, sampled, rcs, mask_vals)
+        term = np_qm31_mul(pt_val, np_qm31_inv(vanish_at_qm31(n, z[0])))
+        term = np_qm31_mul(np_qm31_pow(alpha, shifts[c]), term)
+        total = np_qm31_add(total, term)
+    comp_idxs = [plan.index[("comp", -1, (t,))] for t in range(4)]
+    comp_at_z = _qm31_reconstruct([sampled[i][0] for i in comp_idxs])
+    print(f"[selftest] total={total} comp_at_z={comp_at_z} "
+          f"match={np.array_equal(total, comp_at_z)}", flush=True)
+
+
+def _selftest_per_constraint(comp, info, plan, log_sizes, c, relations,
+                             claimed, alpha, z, sampled, rcs, mask_vals):
+    """Compare every constraint's domain polynomial at z against its
+    verifier point value; print the first divergent constraints.
+
+    Caveat: a constraint whose domain values reach the full degree
+    capacity of the 4x domain can report a false mismatch here (the
+    per-constraint re-interpolation is exact only below capacity); the
+    final `total == comp_at_z` line is the authoritative check."""
+    from ..air.component import (DomainEvalContext, _finalize_logup,
+                                 _as_matrix)
+    from ..air.expr import Felt, NP
+
+    n = log_sizes[c]
+    ev_log = n + 2
+    main_evals = rcs["main"].evals_natural_matrix(
+        [plan.metas[i].ridx for i in plan.by_role["main"]
+         if plan.metas[i].comp == c], ev_log)
+    pre_evals = rcs["pre"].evals_natural_matrix(
+        [plan.metas[i].ridx for i in plan.by_role["pre"]
+         if plan.metas[i].comp == c], ev_log)
+    isf_idx = plan.index[("pre", -1,
+                          ("is_first", plan.pre_sizes.index(n)))]
+    isf_evals = rcs["pre"].evals_natural(plan.metas[isf_idx].ridx, ev_log)
+    if info.n_logup_cols:
+        inter_flat = rcs["inter"].evals_natural_matrix(
+            [plan.metas[plan.index[("inter", c, (b, t))]].ridx
+             for b in range(info.n_logup_cols) for t in range(4)], ev_log)
+        inter_evals = jnp.transpose(
+            inter_flat.reshape(info.n_logup_cols, 4, -1), (0, 2, 1))
+    else:
+        inter_evals = None
+    dctx = DomainEvalContext(_as_matrix(main_evals),
+                             _as_matrix(pre_evals), inter_evals,
+                             jnp.asarray(isf_evals), relations,
+                             np.asarray(claimed, np.uint32),
+                             np.asarray(alpha, np.uint32),
+                             params={k: jnp.uint32(int(v) & 0x7FFFFFFF)
+                                     for k, v in comp.params().items()})
+    comp.evaluate(dctx)
+    _finalize_logup(dctx)
+    dom_cons = []                # per constraint: (M,4) np
+    for it in dctx._collected:
+        if it[0] == "one":
+            dom_cons.append(np.asarray(it[1].as_qm31().v, np.uint64))
+        else:
+            arr = np.asarray(it[1], np.uint64)
+            for b in range(it[2]):
+                dom_cons.append(arr[b])
+
+    class _RecPoint(PointEvalContext):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.rec = []
+
+        def _accumulate(self, f):
+            self.rec.append(np.asarray(f.as_qm31().v, np.uint64))
+            super()._accumulate(f)
+
+        def _accumulate_vec(self, arr, count):
+            a = np.asarray(arr, np.uint64)
+            for b in range(count):
+                self.rec.append(a[b])
+            super()._accumulate_vec(arr, count)
+
+    pctx = _RecPoint(mask_vals, relations, claimed, alpha,
+                     params=comp.params())
+    run_constraints(comp, pctx)
+    assert len(dom_cons) == len(pctx.rec), \
+        (len(dom_cons), len(pctx.rec))
+    basis = jnp.asarray(cfft.point_basis(ev_log, z).astype(np.uint32))
+    nat2lay = jnp.asarray(layout_to_natural(ev_log))
+    shown = 0
+    for j, (dc, pv) in enumerate(zip(dom_cons, pctx.rec)):
+        cf = cfft.interpolate(jnp.asarray(
+            dc.astype(np.uint32))[nat2lay].T)
+        coords = np.asarray(_oods_dot(cf, basis), np.uint64)
+        dom_at_z = np.zeros(4, np.uint64)
+        for t in range(4):
+            dom_at_z = np_qm31_add(dom_at_z, np_qm31_mul(
+                _QM31_BASIS[t], coords[t]))
+        pvq = np.asarray(pv, np.uint64).reshape(-1)[-4:]
+        if not np.array_equal(dom_at_z, pvq):
+            print(f"[selftest]   constraint {j}: domain@z={dom_at_z} "
+                  f"point={pvq}", flush=True)
+            shown += 1
+            if shown >= 8:
+                print("[selftest]   ... (more)", flush=True)
+                break
+    if not shown:
+        print("[selftest]   all constraints match individually "
+              "(combination-order bug?)", flush=True)
+
+
 def _pre_arrays_per_component(components, log_sizes, infos, pre_cols, plan):
     out = []
     k = len(plan.pre_sizes)
@@ -459,6 +642,14 @@ def _pre_arrays_per_component(components, log_sizes, infos, pre_cols, plan):
 # Verify
 # ---------------------------------------------------------------------------
 
+def _vfail(reason: str) -> bool:
+    """Labeled verification failure; set NZT_VERIFY_DEBUG=1 to print."""
+    import os
+    if os.environ.get("NZT_VERIFY_DEBUG"):
+        print(f"[verify] FAIL: {reason}", flush=True)
+    return False
+
+
 def verify(components, proof: Proof, channel,
            config: PcsConfig = PcsConfig()) -> bool:
     try:
@@ -471,7 +662,7 @@ def _verify(components, proof, channel, config):
     infos = [component_info(c) for c in components]
     log_sizes = list(proof.log_sizes)
     if len(log_sizes) != len(components):
-        return False
+        return _vfail('log_sizes length')
     plan = build_plan(components, log_sizes, infos, config)
     blowup = config.fri.log_blowup
     s0 = plan.n_comp_trace_log + blowup
@@ -483,7 +674,7 @@ def _verify(components, proof, channel, config):
     rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup)
     if [(s, r.tolist()) for s, r in rc_pre.roots()] != \
             [(s, np.asarray(r).tolist()) for s, r in proof.roots["pre"]]:
-        return False
+        return _vfail('preprocessed root mismatch')
     rc_pre.mix_roots(channel)
 
     for s, root in proof.roots["main"]:
@@ -492,12 +683,12 @@ def _verify(components, proof, channel, config):
 
     claimed_sums = [np.asarray(cs, np.uint64) for cs in proof.claimed_sums]
     if len(claimed_sums) != len(components):
-        return False
+        return _vfail('claimed_sums length')
     total = np.zeros(4, np.uint64)
     for cs in claimed_sums:
         total = np_qm31_add(total, cs)
     if total.any():
-        return False
+        return _vfail('claimed sums do not cancel')
     channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
                       if claimed_sums else np.zeros((0, 4), np.uint32))
     for s, root in proof.roots["inter"]:
@@ -511,10 +702,10 @@ def _verify(components, proof, channel, config):
     z = oods_point_from_felt(t_felt)
     sampled = [np.asarray(s, np.uint64) for s in proof.sampled]
     if len(sampled) != len(plan.metas):
-        return False
+        return _vfail('sampled length')
     for i, m in enumerate(plan.metas):
         if sampled[i].shape != (len(m.offsets), 4):
-            return False
+            return _vfail('sampled shape')
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
                       .astype(np.uint32))
 
@@ -544,7 +735,7 @@ def _verify(components, proof, channel, config):
                                alpha, params=comp.params())
         acc, k = run_constraints(comp, ctx)
         if k != infos[c].n_constraints:
-            return False
+            return _vfail('constraint count')
         if acc is None:
             continue
         term = np_qm31_mul(acc.as_qm31().v,
@@ -554,14 +745,14 @@ def _verify(components, proof, channel, config):
     comp_idxs = [plan.index[("comp", -1, (t,))] for t in range(4)]
     comp_at_z = _qm31_reconstruct([sampled[i][0] for i in comp_idxs])
     if not np.array_equal(total, comp_at_z):
-        return False
+        return _vfail('OODS composition identity')
 
     # -- quotient / FRI phase ---------------------------------------------
     gamma = np.asarray(channel.draw_felt(), np.uint64)
     alphas = fri.fri_replay(proof.fri_proof, channel, config.fri,
                             list(plan.groups))
     if not channel.mix_pow_nonce(config.pow_bits, proof.pow_nonce):
-        return False
+        return _vfail('proof of work')
     queries = channel.draw_queries(config.fri.n_queries, s0)
 
     # Verify tree openings and collect opened values per plan column.
@@ -582,7 +773,7 @@ def _verify(components, proof, channel, config):
             d = decs[s]
             if not merkle.verify_decommitment(
                     roots[role][s], [1 << s] * ncols, positions, d):
-                return False
+                return _vfail(f'merkle opening {role}/{s}')
             opened[(role, s)] = (positions, d)
 
     # Recompute combined quotients at opened positions -> FRI inputs.
