@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..ops import field as F
 from .component import (GenContext, _finalize_logup, generate_interaction,
                         preprocessed_is_first)
-from .expr import Felt, JNP
+from .expr import Felt, JNP, NP
 from .lookups import LookupElements
 
 __all__ = ["assert_constraints", "ConstraintViolation"]
@@ -123,3 +123,99 @@ def assert_constraints(components, log_sizes, traces) -> None:
     if total.any():
         raise ConstraintViolation(
             f"LogUp claimed sums do not cancel: {total}")
+
+
+class _TupleCtx:
+    """Records every add_fraction as (relation, mult rows, value rows)
+    for the host-side multiset balance report (no field randomness)."""
+    be = NP
+
+    def __init__(self, main_cols, pre_cols, log_size, params, claimed):
+        self._main = [np.asarray(c, np.int64) for c in main_cols]
+        self._pre = [np.asarray(c, np.int64) for c in pre_cols]
+        self.log_size = log_size
+        self._params = params or {}
+        self._claimed = claimed
+        self.records = []          # (rel, mult (M,), [vals (M,)])
+        self.n_constraints = 0
+        self.entries = []
+
+    def _col(self, arr, off):
+        return np.roll(arr, -off) if off else arr
+
+    def _felt(self, arr):
+        return Felt(np.asarray(arr, np.uint64), "m31", NP)
+
+    def main(self, i, off=0):
+        return self._felt(self._col(self._main[i], off))
+
+    def pre(self, j, off=0):
+        return self._felt(self._col(self._pre[j], off))
+
+    def main_block(self, lo, hi, off=0):
+        block = np.stack([self._col(c, off)
+                          for c in self._main[lo:hi]])
+        return Felt(np.asarray(block, np.uint64), "m31", NP)
+
+    def inter(self, b, off=0):
+        raise RuntimeError("no interaction columns in tuple context")
+
+    @property
+    def is_first(self):
+        return self._felt(preprocessed_is_first(self.log_size))
+
+    @property
+    def claimed(self):
+        return Felt.qconst(self._claimed, NP)
+
+    def param(self, name):
+        return Felt.const(int(self._params[name]), NP)
+
+    def constraint(self, f):
+        self.n_constraints += 1
+
+    def constraint_vec(self, arr, count):
+        self.n_constraints += count
+
+    def add_fraction(self, mult, rel, values):
+        M = 1 << self.log_size
+
+        def rows(v):
+            if isinstance(v, Felt):
+                a = np.asarray(v.v, np.int64)
+            else:
+                a = np.asarray(int(v) % F.P, np.int64)
+            return np.broadcast_to(a, (M,)) if a.ndim == 0 else a
+
+        self.records.append((rel, rows(mult), [rows(v) for v in values]))
+
+
+def relation_balance_report(components, log_sizes, traces, max_show=8):
+    """Host multiset check of every LogUp relation: emitted minus
+    consumed tuple counts must be zero.  Returns {relation: [(tuple,
+    residual), ...]} for the unbalanced tuples — the exact witness of a
+    claimed-sums imbalance, component-independent of randomness."""
+    from collections import defaultdict
+    totals = defaultdict(lambda: defaultdict(int))
+    half = F.P // 2
+    for ci, comp in enumerate(components):
+        n = log_sizes[ci]
+        pre = [np.asarray(arr, np.int64)
+               for _, arr in comp.preprocessed(n)]
+        ctx = _TupleCtx(traces[ci], pre, n, comp.params(),
+                        np.zeros(4, np.uint64))
+        comp.evaluate(ctx)
+        for rel, mult, vals in ctx.records:
+            signed = np.where(mult > half, mult - F.P, mult)
+            nz = np.nonzero(signed)[0]
+            if not len(nz):
+                continue
+            stacked = np.stack([v[nz] for v in vals], axis=1)
+            for row, m in zip(stacked, signed[nz]):
+                totals[rel][tuple(int(x) for x in row)] += int(m)
+    report = {}
+    for rel, counts in totals.items():
+        bad = [(k, v) for k, v in counts.items() if v != 0]
+        if bad:
+            report[rel] = sorted(bad)[:max_show]
+    return report

@@ -121,6 +121,11 @@ class RamTouched(Component):
     def params(self):
         return {"heap_start": self.heap_start}
 
+    def preprocessed(self, log_size: int):
+        nl = np.ones(1 << log_size, np.uint32)
+        nl[-1] = 0
+        return [("rt_not_last", nl)]
+
     def evaluate(self, ctx):
         c = Cols(ctx, RAM_SCHEMA)
         f, addr = c("flag"), c("addr")
@@ -129,10 +134,17 @@ class RamTouched(Component):
         ctx.constraint(z * (z - 1))
         ctx.constraint(g * (g - 1))
         ctx.constraint(z + g - f)
+        # flags form a prefix: once f=0, every later row has f=0 (gated
+        # off the circle wrap row n-1 -> row 0 by the preprocessed
+        # not-last column).  Without this, a flag gap would let two
+        # disjoint flagged runs open independent access chains at the
+        # same address (stale-read memory forking).
+        f_next = c("flag", 0, 1)
+        not_last = ctx.pre(0)
+        ctx.constraint((f_next - f * f_next) * not_last)
         # strict address ordering between consecutive real rows
         d = c("d", 0) + c("d", 1) * (1 << 8) + c("d", 2) * (1 << 16) \
             + c("d", 3) * (1 << 24)
-        f_next = c("flag", 0, 1)
         ctx.constraint(f * f_next * (c("addr", 0, 1) - addr - 1 - d))
         # zero-init rows live at/above the heap
         zd = c("zd", 0) + c("zd", 1) * (1 << 8) + c("zd", 2) * (1 << 16) \
@@ -197,15 +209,22 @@ class MemInit(Component):
         addr = np.zeros(n, np.uint32)
         lo = np.zeros(n, np.uint32)
         hi = np.zeros(n, np.uint32)
+        flag = np.zeros(n, np.uint32)
         k = min(len(self.addrs), n)
         addr[:k] = self.addrs[:k]
         l, h = _halves(self.vals[:k])
         lo[:k], hi[:k] = l, h
-        return [("mi_addr", addr), ("mi_lo", lo), ("mi_hi", hi)]
+        flag[:k] = 1
+        return [("mi_addr", addr), ("mi_lo", lo), ("mi_hi", hi),
+                ("mi_flag", flag)]
 
     def evaluate(self, ctx):
         m = ctx.main(0)
+        flag = ctx.pre(3)
         ctx.constraint(m * (m - 1))
+        # padding rows (flag=0) carry the all-zero tuple; forbid them
+        # from providing a spurious (0,0,0) meminit entry
+        ctx.constraint(m * (flag - 1))
         ctx.add_fraction(-m, "meminit", [ctx.pre(0), ctx.pre(1),
                                          ctx.pre(2)])
 

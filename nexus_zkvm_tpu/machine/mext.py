@@ -142,7 +142,12 @@ class MExtComponent(Component):
         ctx.constraint(c("p", 7) - c("g", 6) - 256 * c("gh", 6))
         for i in range(8):
             ctx.add_fraction(1, "r256", [c("p", i)])
-        for name in ("qt", "rm", "babs", "cabs"):
+        # b/c/a must be range-checked here: the CPU dispatch tuple only
+        # pins their 16-bit halves, and e.g. the sign split
+        # b3 = 128*sgn_b + b3l7 reads byte 3 directly — without r256 on
+        # each byte the hi-half decomposition (b2 + 256*b3) is malleable
+        # and sgn_b/sgn_c could be flipped on div rows.
+        for name in ("b", "c", "a", "qt", "rm", "babs", "cabs"):
             for i in range(4):
                 ctx.add_fraction(1, "r256", [c(name, i)])
 
@@ -389,7 +394,7 @@ def _mext_emits(f):
     for name in ("g", "p"):
         for i in range(f[name].shape[1]):
             out256.append(f[name][:, i].astype(np.int64))
-    for name in ("qt", "rm", "babs", "cabs", "dh"):
+    for name in ("b", "c", "a", "qt", "rm", "babs", "cabs", "dh"):
         for i in range(4):
             out256.append(f[name][:, i].astype(np.int64))
     for name in ("b3l7", "c3l7"):
