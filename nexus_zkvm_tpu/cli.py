@@ -49,7 +49,7 @@ def main(argv=None):
     p_new = sub.add_parser("new", help="scaffold a new guest program")
     p_new.add_argument("name")
 
-    for cmd in ("run", "prove", "verify"):
+    for cmd in ("run", "prove"):
         p = sub.add_parser(cmd)
         p.add_argument("guest", help=".s/.asm assembly or riscv32 ELF")
         p.add_argument("--input", type=lambda s: int(s, 0), nargs="*",
@@ -60,8 +60,14 @@ def main(argv=None):
                        help="force the CPU backend")
         if cmd == "prove":
             p.add_argument("-o", "--output", default="proof.bin")
-        if cmd == "verify":
-            p.add_argument("proof")
+
+    # verify is standalone: the bundle carries the View (public claim),
+    # so no guest re-execution is needed (ref `sdk/src/stwo/seq.rs:
+    # 141-147` ships the View with the proof the same way)
+    p_ver = sub.add_parser("verify")
+    p_ver.add_argument("proof", help="proof bundle from `prove`")
+    p_ver.add_argument("--cpu", action="store_true",
+                       help="force the CPU backend")
 
     args = ap.parse_args(argv)
 
@@ -79,7 +85,20 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")
 
-    from .sdk import LocalProver, proof_to_bytes, proof_from_bytes
+    from .sdk import (LocalProver, bundle_to_bytes, bundle_from_bytes,
+                      verify as verify_fn)
+
+    if args.cmd == "verify":
+        view, proof = bundle_from_bytes(open(args.proof, "rb").read())
+        t0 = time.time()
+        ok = verify_fn(view, proof)
+        print(f"exit code: {view.exit_code}")
+        out = view.public_output.rstrip(b"\0")
+        if out:
+            print(f"output bytes: {out.hex()}")
+        print(f"verified: {ok} in {time.time() - t0:.1f}s")
+        return 0 if ok else 1
+
     guest = _load_guest(args.guest)
     prover = LocalProver(guest)
     priv = bytes(args.private_input or [])
@@ -100,22 +119,13 @@ def main(argv=None):
         t0 = time.time()
         view, proof = prover.prove_with_input(
             public_input=_input_bytes(args), private_input=priv)
-        blob = proof_to_bytes(proof)
+        blob = bundle_to_bytes(view, proof)
         with open(args.output, "wb") as f:
             f.write(blob)
-        print(f"exit code {view.exit_code}; proof "
+        print(f"exit code {view.exit_code}; proof bundle "
               f"{len(blob) / 1024:.0f} KiB -> {args.output} "
               f"in {time.time() - t0:.1f}s")
         return 0
-
-    if args.cmd == "verify":
-        view, _trace = prover.trace(public_input=_input_bytes(args),
-                                    private_input=priv)
-        proof = proof_from_bytes(open(args.proof, "rb").read())
-        t0 = time.time()
-        ok = prover.verify(view, proof)
-        print(f"verified: {ok} in {time.time() - t0:.1f}s")
-        return 0 if ok else 1
 
 
 if __name__ == "__main__":

@@ -18,10 +18,14 @@ from ..machine import MachineProof
 from ..ops import fri, merkle
 from ..prover.stark import Proof, ROLE_ORDER
 
-__all__ = ["proof_to_bytes", "proof_from_bytes"]
+__all__ = ["proof_to_bytes", "proof_from_bytes",
+           "view_to_bytes", "view_from_bytes",
+           "bundle_to_bytes", "bundle_from_bytes"]
 
 _MAGIC = b"NZTP"
 _VERSION = 1
+_VIEW_MAGIC = b"NZTV"
+_BUNDLE_MAGIC = b"NZTB"
 
 
 def _w_u32(b, v):
@@ -139,3 +143,118 @@ def proof_from_bytes(data: bytes) -> MachineProof:
         log_sizes=log_sizes, roots=roots, claimed_sums=claimed,
         sampled=sampled, fri_proof=fp, pow_nonce=pow_nonce,
         openings=openings))
+
+
+# ---------------------------------------------------------------------------
+# View serialization (the public claim)
+# ---------------------------------------------------------------------------
+# The reference ships the View with the proof so a third party can
+# verify without re-executing the guest
+# (`/root/reference/sdk/src/stwo/seq.rs:141-147`).
+
+def _w_bytes(b, data: bytes):
+    _w_u32(b, len(data))
+    b.write(bytes(data))
+
+
+def _r_bytes(b) -> bytes:
+    return b.read(_r_u32(b))
+
+
+def view_to_bytes(view) -> bytes:
+    lay = view.memory_layout
+    b = io.BytesIO()
+    b.write(_VIEW_MAGIC)
+    _w_u32(b, _VERSION)
+    for v in (lay.public_input, lay.exit_code, lay.public_output,
+              lay.heap, lay.stack_bottom, lay.stack_top, lay.end):
+        _w_u32(b, v)
+    sr = lay.static_ram
+    _w_u32(b, 1 if sr is not None else 0)
+    if sr is not None:
+        _w_u32(b, sr[0])
+        _w_u32(b, sr[1])
+    _w_u32(b, view.program_info.initial_pc)
+    prog = view.program_info.program
+    _w_u32(b, len(prog))
+    _w_arr(b, np.asarray([pc for pc, _ in prog], np.uint32), "<u4")
+    _w_arr(b, np.asarray([w for _, w in prog], np.uint32), "<u4")
+    _w_bytes(b, view.public_input)
+    _w_u32(b, int(view.exit_code) & 0xFFFFFFFF)
+    _w_bytes(b, view.public_output)
+    _w_bytes(b, view.associated_data)
+    _w_u32(b, len(view.debug_logs))
+    for log in view.debug_logs:
+        _w_bytes(b, log)
+    mem = view.initial_memory
+    _w_u32(b, len(mem))
+    _w_arr(b, np.asarray([a for a, _ in mem], np.uint32), "<u4")
+    _w_arr(b, np.asarray([v for _, v in mem], np.uint8), "u1")
+    return b.getvalue()
+
+
+def view_from_bytes(data: bytes):
+    from ..vm.memory import LinearMemoryLayout
+    from ..vm.trace import View, ProgramInfo
+    b = io.BytesIO(data)
+    if b.read(4) != _VIEW_MAGIC:
+        raise ValueError("not a view blob")
+    if _r_u32(b) != _VERSION:
+        raise ValueError("unsupported view version")
+    (public_input, exit_code_a, public_output, heap, stack_bottom,
+     stack_top, end) = (_r_u32(b) for _ in range(7))
+    static_ram = None
+    if _r_u32(b):
+        static_ram = (_r_u32(b), _r_u32(b))
+    lay = LinearMemoryLayout(
+        public_input=public_input, exit_code=exit_code_a,
+        public_output=public_output, heap=heap,
+        stack_bottom=stack_bottom, stack_top=stack_top, end=end,
+        static_ram=static_ram)
+    lay.validate()
+    initial_pc = _r_u32(b)
+    n = _r_u32(b)
+    pcs = _r_arr(b, "<u4")
+    ws = _r_arr(b, "<u4")
+    if len(pcs) != n or len(ws) != n:
+        raise ValueError("corrupt program table")
+    program = [(int(p), int(w)) for p, w in zip(pcs, ws)]
+    public_input_b = _r_bytes(b)
+    exit_code = _r_u32(b)
+    public_output_b = _r_bytes(b)
+    ad = _r_bytes(b)
+    logs = [_r_bytes(b) for _ in range(_r_u32(b))]
+    m = _r_u32(b)
+    addrs = _r_arr(b, "<u4")
+    vals = _r_arr(b, "u1")
+    if len(addrs) != m or len(vals) != m:
+        raise ValueError("corrupt initial memory")
+    initial_memory = [(int(a), int(v)) for a, v in zip(addrs, vals)]
+    return View(memory_layout=lay,
+                program_info=ProgramInfo(initial_pc=initial_pc,
+                                         program=program),
+                public_input=public_input_b, exit_code=exit_code,
+                public_output=public_output_b, associated_data=ad,
+                debug_logs=logs, initial_memory=initial_memory)
+
+
+def bundle_to_bytes(view, proof: MachineProof) -> bytes:
+    """(View, proof) as one portable blob — everything a third party
+    needs to verify without re-running the guest."""
+    b = io.BytesIO()
+    b.write(_BUNDLE_MAGIC)
+    _w_u32(b, _VERSION)
+    _w_bytes(b, view_to_bytes(view))
+    _w_bytes(b, proof_to_bytes(proof))
+    return b.getvalue()
+
+
+def bundle_from_bytes(data: bytes):
+    b = io.BytesIO(data)
+    if b.read(4) != _BUNDLE_MAGIC:
+        raise ValueError("not a proof bundle")
+    if _r_u32(b) != _VERSION:
+        raise ValueError("unsupported bundle version")
+    view = view_from_bytes(_r_bytes(b))
+    proof = proof_from_bytes(_r_bytes(b))
+    return view, proof

@@ -84,6 +84,12 @@ def decode_instruction(word: int) -> Instruction:
         return Instruction(Opcode.PRECOMPILE, InstrType.CUSTOM, rd=rd,
                            rs1=rs1, rs2=rs2, imm=(f7 << 3) | f3,
                            word=word)
+    if op7 == 0x2B and f3 == 0:   # `rin` == lw (ref registry.rs:232,274)
+        return Instruction(Opcode.LW, InstrType.I, rd=rd, rs1=rs1,
+                           imm=_sext(word >> 20, 12), word=word)
+    if op7 == 0x5B and f3 == 0:   # `wou` == sw (ref registry.rs:233,287)
+        return Instruction(Opcode.SW, InstrType.S, rs1=rs1, rs2=rs2,
+                           imm=_sext((f7 << 5) | rd, 12), word=word)
 
     for key in ((op7, f3, f7), (op7, f3, None), (op7, None, None)):
         opc = BY_ENCODING.get(key)

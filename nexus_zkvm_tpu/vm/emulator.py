@@ -528,6 +528,11 @@ class HarvardEmulator(_EmulatorBase):
         for i, b in enumerate(tape):
             self.rom[self.input_base + i] = b
         self.output_base = (self.input_base + 4 + n + 0xFFF) & ~0xFFF
+        # Discovery-pass heap: above every installed image/region so an
+        # ecall 0x403 guest can never clobber the IO sentinels or tape
+        # (reference gives Harvard a variable RW memory; the trace pass
+        # re-bases the heap from the layout — `layout.rs:117-157`).
+        self.heap_base = (self.output_base + 0x1_0000 + 0xFFF) & ~0xFFF
         # IO sentinels at fixed low addresses
         for i, b in enumerate(self.input_base.to_bytes(4, "little")):
             self.rom[0x80 + i] = b
@@ -572,6 +577,9 @@ class HarvardEmulator(_EmulatorBase):
             self.min_stack = min(self.min_stack, addr)
         else:
             self.max_heap = max(self.max_heap, addr)
+
+    def heap_start(self) -> int:
+        return self.heap_base
 
     def execute_syscall(self):
         code = int(self.regs[17])
@@ -622,6 +630,7 @@ class LinearEmulator(_EmulatorBase):
         self.prog_end_addr = base + 4 * len(self.program_words)
         for addr, byte in (rom_image or {}).items():
             m.fill(addr, bytes([byte]))
+        self.rom_init = dict(rom_image or {})
         self.ram_init = dict(ram_image or {})
         for addr, byte in self.ram_init.items():
             m.fill(addr, bytes([byte]))
@@ -762,7 +771,12 @@ class LinearEmulator(_EmulatorBase):
             entries.append((lay.public_input_address_location + i,
                             self.mem.data[
                                 lay.public_input_address_location + i]))
-        for addr, byte in sorted(self.ram_init.items()):
+        # static images: RO data (rom) and RW data (ram) both belong to
+        # the public claim -- a guest reading its .rodata must find the
+        # bytes in the committed MemInit image
+        statics = dict(self.rom_init)
+        statics.update(self.ram_init)
+        for addr, byte in sorted(statics.items()):
             entries.append((addr, byte))
         return entries
 

@@ -74,3 +74,37 @@ def test_prove_verify_serialize_roundtrip():
     except Exception:
         return
     assert not prover.verify(view, proof3)
+
+
+def test_view_serialize_roundtrip():
+    guest = Guest.from_asm(DOUBLER)
+    view, _ = LocalProver(guest, CFG).trace(public_input=encode_u32s(21))
+    from nexus_zkvm_tpu.sdk import view_to_bytes, view_from_bytes
+    blob = view_to_bytes(view)
+    v2 = view_from_bytes(blob)
+    assert v2.exit_code == view.exit_code
+    assert v2.public_output == view.public_output
+    assert v2.public_input == view.public_input
+    assert v2.program_info.program == view.program_info.program
+    assert v2.initial_memory == view.initial_memory
+    assert v2.memory_layout == view.memory_layout
+    assert view_to_bytes(v2) == blob
+
+
+@pytest.mark.slow
+def test_bundle_verifies_without_guest():
+    """Portable proofs: a third party verifies from the bundle alone —
+    no guest program, no re-execution (ref serializes the View with
+    the proof, `/root/reference/sdk/src/stwo/seq.rs:141-147`)."""
+    from nexus_zkvm_tpu.sdk import (bundle_to_bytes, bundle_from_bytes,
+                                    verify)
+    guest = Guest.from_asm(DOUBLER)
+    prover = LocalProver(guest, CFG)
+    view, proof = prover.prove_with_input(public_input=encode_u32s(21))
+    blob = bundle_to_bytes(view, proof)
+    view2, proof2 = bundle_from_bytes(blob)
+    assert decode_u32s(view2.public_output, 1) == [42]
+    assert verify(view2, proof2, CFG)
+    # a doctored claim (flip the exit code) must not verify
+    view2.exit_code = 7
+    assert not verify(view2, proof2, CFG)
