@@ -58,7 +58,7 @@ OP_FLAGS = [
     Opcode.BGEU, Opcode.LUI, Opcode.AUIPC, Opcode.JAL,
     Opcode.MUL, Opcode.MULH, Opcode.MULHSU, Opcode.MULHU,
     Opcode.DIV, Opcode.DIVU, Opcode.REM, Opcode.REMU,
-    Opcode.KECCAKF,
+    Opcode.KECCAKF, Opcode.PRECOMPILE,
 ]
 _FLAG_IDX = {op: i for i, op in enumerate(OP_FLAGS)}
 
@@ -210,8 +210,8 @@ class CpuComponent(Component):
             Opcode.XOR, Opcode.SRL, Opcode.SRA, Opcode.OR, Opcode.AND,
             Opcode.SB, Opcode.SH, Opcode.SW, Opcode.BEQ, Opcode.BNE,
             Opcode.BLT, Opcode.BGE, Opcode.BLTU, Opcode.BGEU,
-            Opcode.ECALL, Opcode.KECCAKF)])
-        writes = m_ext + _sum([F[o] for o in (
+            Opcode.ECALL, Opcode.KECCAKF, Opcode.PRECOMPILE)])
+        writes = F[Opcode.PRECOMPILE] + m_ext + _sum([F[o] for o in (
             Opcode.ADD, Opcode.SUB, Opcode.SLL, Opcode.SLT, Opcode.SLTU,
             Opcode.XOR, Opcode.SRL, Opcode.SRA, Opcode.OR, Opcode.AND,
             Opcode.ADDI, Opcode.SLLI, Opcode.SLTI, Opcode.SLTIU,
@@ -248,6 +248,12 @@ class CpuComponent(Component):
 
         # -- keccakf dispatch (consumed by KeccakComponent) ------------
         ctx.add_fraction(F[Opcode.KECCAKF], "keccak", [clk, b_lo, b_hi])
+
+        # -- dynamic precompile dispatch (consumed by the precompile's
+        # circuit component; the index is the decoded immediate, bound
+        # to the public program by the fetch lookup) -------------------
+        ctx.add_fraction(F[Opcode.PRECOMPILE], "precomp",
+                         [imm_lo, b_lo, b_hi, c_lo, c_hi, a_lo, a_hi])
 
         # -- execution chain (boundary emit only in the entry segment) --
         ctx.add_fraction(ctx.is_first * ctx.param("is_entry"), "exec",
@@ -609,7 +615,7 @@ _R_TYPE = {Opcode.ADD, Opcode.SUB, Opcode.SLL, Opcode.SLT, Opcode.SLTU,
            Opcode.XOR, Opcode.SRL, Opcode.SRA, Opcode.OR, Opcode.AND,
            Opcode.MUL, Opcode.MULH, Opcode.MULHSU, Opcode.MULHU,
            Opcode.DIV, Opcode.DIVU, Opcode.REM, Opcode.REMU,
-           Opcode.KECCAKF}
+           Opcode.KECCAKF, Opcode.PRECOMPILE}
 _S_TYPE = {Opcode.SB, Opcode.SH, Opcode.SW}
 _B_TYPE = {Opcode.BEQ, Opcode.BNE, Opcode.BLT, Opcode.BGE, Opcode.BLTU,
            Opcode.BGEU}
@@ -663,6 +669,15 @@ def fill_cpu(trace, view, log_size: int, static_lo=None, static_hi=None):
     from .tables import bitop_row_index
     s = trace.steps
     n = len(s["clk"])
+    # trailing UNIMPL rows (k-block padding, ref `vm/src/trace.rs:
+    # 218-247`) are equivalent to the power-of-two padding rows the
+    # AIR already models -- strip them
+    unimpl = s["opcode"] == int(Opcode.UNIMPL)
+    if unimpl.any():
+        assert unimpl[np.argmax(unimpl):].all(), \
+            "UNIMPL steps must be a trailing block"
+        n = int(np.argmax(unimpl))
+        s = {k: v[:n] for k, v in s.items()}
     N = 1 << log_size
     assert n <= N and log_size <= 28
     opc = s["opcode"][:n]

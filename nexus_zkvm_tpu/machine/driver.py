@@ -30,6 +30,8 @@ from .keccak import (KeccakComponent, KECCAK_SCHEMA, fill_keccak,
 from .memside import (RegFile, RamTouched, MemInit, OutputCheck,
                       TS_CHECK, REG_SCHEMA, RAM_SCHEMA, OUT_SCHEMA,
                       fill_reg_file, fill_ram_touched)
+from .precomp import (PRECOMP_SCHEMA, proven_precompile_components,
+                      proven_indices, precompile_rows)
 from .tables import RangeTable, BitOpTable, ShiftTable
 
 __all__ = ["prove_machine", "verify_machine", "MachineProof",
@@ -85,8 +87,9 @@ def build_components(view, n_segments: int = 1):
               ShiftTable("l"), ShiftTable("r")]
     mext = MExtComponent()
     keccak = KeccakComponent()
+    pre_comps = proven_precompile_components()
     comps = cpus + [prog, regf, ram, meminit, outchk, mext, keccak] \
-        + tables
+        + pre_comps + tables
     fixed_sizes = {
         "program": _clog2(len(view.program_info.program)),
         "regfile": 5,
@@ -253,6 +256,24 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
     mext_log = _clog2(n_m)
     mext_fill, mext_emits = fill_mext(trace, mext_log)
 
+    # proven precompiles: every dynamic-precompile step must have a
+    # circuit (ref `PrecompileInstruction::circuit`,
+    # `precompiles/src/traits.rs:38-46`) -- reject, never skip
+    from ..vm.isa import Opcode as _Opcode
+    pre_steps = trace.steps["opcode"] == int(_Opcode.PRECOMPILE)
+    used_idx = set(np.unique(trace.steps["imm"][pre_steps]).tolist())
+    unproven = used_idx - proven_indices()
+    if unproven:
+        raise ValueError(
+            f"trace uses precompiles without circuits: {sorted(unproven)}")
+    pre_fills = {}
+    for pcomp in by_name.values():
+        if not hasattr(pcomp, "INDEX"):
+            continue
+        n_p = int(precompile_rows(trace, pcomp.INDEX).sum())
+        plog = _clog2(n_p)
+        pre_fills[pcomp.name] = (plog,) + pcomp.fill(trace, plog)
+
     kk_log = (trace.machine_state or {}).get("keccak_log", [])
     n_kk = int((trace.steps["opcode"] == 64).sum())
     assert n_kk == len(kk_log), \
@@ -260,8 +281,10 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
     keccak_log2 = _clog2(max(1, len(kk_log)) * KECCAK_BLOCK)
     kk_fill, kk_emits = fill_keccak(kk_log, keccak_log2)
 
-    # program fetch multiplicities
-    fetch_rows = ((trace.steps["pc"].astype(np.int64)
+    # program fetch multiplicities (k-padding UNIMPL rows fetch nothing)
+    from ..vm.isa import Opcode as _Opc
+    real = trace.steps["opcode"] != int(_Opc.UNIMPL)
+    fetch_rows = ((trace.steps["pc"][real].astype(np.int64)
                    - lay.program_start) // 4)
     prog_mult = np.bincount(fetch_rows,
                             minlength=1 << fixed_sizes["program"]
@@ -275,7 +298,8 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
 
     mults = _table_mults(comps, fixed_sizes,
                          cpu_emit_list + [mext_emits, kk_emits,
-                         _memside_emits(ram_fill, out_fill)])
+                         _memside_emits(ram_fill, out_fill)]
+                         + [e for _, _, e in pre_fills.values()])
 
     log_sizes, traces = [], []
     seg_i = 0
@@ -305,6 +329,10 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
         elif comp.name == "keccak":
             log_sizes.append(keccak_log2)
             traces.append(KECCAK_SCHEMA.to_columns(kk_fill))
+        elif comp.name in pre_fills:
+            plog, pfill, _ = pre_fills[comp.name]
+            log_sizes.append(plog)
+            traces.append(PRECOMP_SCHEMA.to_columns(pfill))
         else:
             log_sizes.append(fixed_sizes[comp.name])
             traces.append([mults[comp.name]])

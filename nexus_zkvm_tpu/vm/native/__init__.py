@@ -57,6 +57,7 @@ def _load():
         u32p,                                      # ram_ts
         u32p, u64p, u32p,                          # regs, reg_ts, stats
         C.c_int,                                   # record
+        u32p, u32p, u32p, u32p, u32p, C.c_long,    # keccak log
         u32p, u32p, u32p, u32p, u8p, u8p, u8p, u8p, u32p,
         u32p, u32p, u32p, u32p, u32p, u32p, u32p, u8p,
         u32p, u8p, u8p, u32p, u32p, u32p, u32p,
@@ -73,7 +74,7 @@ def native_available() -> bool:
 def run_native(mem, mode, prog_start, prog_end, decode_cache,
                exit_addr, heap_start, stack_top, entry,
                private_input: bytes, cap: int, max_steps=None,
-               record: bool = True):
+               record: bool = True, kk_cap: int = 0):
     """Run the C emulator.  mem/mode are uint8 arrays (mutated in
     place).  Returns dict with steps SoA, regs, reg_ts, ram_ts, logs,
     exit_code, stats — or raises RuntimeError on VM fault."""
@@ -87,8 +88,14 @@ def run_native(mem, mode, prog_start, prog_end, decode_cache,
     ram_ts = np.zeros(len(mem) // 4, np.uint32)
     regs = np.zeros(32, np.uint32)
     reg_ts = np.zeros(32, np.uint64)
-    stats = np.zeros(3, np.uint32)
+    stats = np.zeros(4, np.uint32)
     exit_code = C.c_int(-1)
+    kkn = max(int(kk_cap), 1)
+    kk_clk = np.zeros(kkn, np.uint32)
+    kk_addr = np.zeros(kkn, np.uint32)
+    kk_in = np.zeros(kkn * 50, np.uint32)
+    kk_out = np.zeros(kkn * 50, np.uint32)
+    kk_pts = np.zeros(kkn * 50, np.uint32)
 
     while True:
         u32 = lambda: np.zeros(cap if record else 1, np.uint32)
@@ -117,6 +124,7 @@ def run_native(mem, mode, prog_start, prog_end, decode_cache,
             log_buf, np.uint32(len(log_buf)), log_splits,
             np.uint32(len(log_splits)),
             ram_ts, regs, reg_ts, stats, int(record),
+            kk_clk, kk_addr, kk_in, kk_out, kk_pts, int(kk_cap),
             soa["clk"], soa["pc"], soa["next_pc"], soa["word"],
             soa["opcode"], soa["rd"], soa["rs1"], soa["rs2"],
             soa["imm"], soa["a_val"], soa["b_val"], soa["c_val"],
@@ -139,6 +147,13 @@ def run_native(mem, mode, prog_start, prog_end, decode_cache,
         for s in splits:
             logs.append(bytes(log_buf[prev:s]))
             prev = s
+        n_keccak = int(stats[3])
+        keccak_log = [
+            {"clk": int(kk_clk[i]), "addr": int(kk_addr[i]),
+             "in_words": kk_in[50 * i:50 * i + 50].tolist(),
+             "out_words": kk_out[50 * i:50 * i + 50].tolist(),
+             "prev_ts": kk_pts[50 * i:50 * i + 50].tolist()}
+            for i in range(min(n_keccak, int(kk_cap)))]
         return {
             # views into the exact-capacity buffers (no copy)
             "steps": {k: v[:n] for k, v in soa.items()},
@@ -151,4 +166,6 @@ def run_native(mem, mode, prog_start, prog_end, decode_cache,
             "exit_code": int(exit_code.value) & 0xFFFFFFFF,
             "max_heap": int(stats[0]),
             "min_stack": int(stats[1]),
+            "n_keccak": n_keccak,
+            "keccak_log": keccak_log,
         }

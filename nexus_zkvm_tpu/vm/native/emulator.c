@@ -165,8 +165,11 @@ long nexus_vm_run(
     uint32_t *log_splits, uint32_t log_splits_cap,
     uint32_t *ram_ts,
     uint32_t *regs_out, uint64_t *reg_ts_out,
-    uint32_t *stats_out,            /* [max_heap, min_stack, n_logs] */
+    uint32_t *stats_out,    /* [max_heap, min_stack, n_logs, n_keccak] */
     int record,
+    /* keccak state log: one row per keccakf instruction */
+    uint32_t *kk_clk, uint32_t *kk_addr, uint32_t *kk_in,
+    uint32_t *kk_out, uint32_t *kk_pts, long kk_cap,
     /* SoA outputs */
     uint32_t *o_clk, uint32_t *o_pc, uint32_t *o_next_pc,
     uint32_t *o_word, uint8_t *o_opcode, uint8_t *o_rd, uint8_t *o_rs1,
@@ -195,6 +198,7 @@ long nexus_vm_run(
     uint32_t pc = entry;
     uint64_t clk = 1;
     long n = 0;
+    long nkk = 0;
     *exit_code_out = -1;
 
     for (;;) {
@@ -409,11 +413,23 @@ long nexus_vm_run(
             c_val = vm->regs[rs2];
             if (opc != OP_KECCAKF) return -2;
             uint64_t st[25];
+            int logit = (kk_clk != 0 && nkk < kk_cap);
             for (int i = 0; i < 25; i++) {
                 if (!mem_check(vm, b_val + 8 * i, 4, 0) ||
                     !mem_check(vm, b_val + 8 * i + 4, 4, 0)) return -2;
                 st[i] = (uint64_t)mem_load(vm, b_val + 8 * i, 4)
                     | ((uint64_t)mem_load(vm, b_val + 8 * i + 4, 4) << 32);
+            }
+            /* one recorded access pair per word (matches the Python
+               mem_prev bookkeeping: capture prev ts, stamp clk) */
+            for (int i = 0; i < 50; i++) {
+                uint32_t w = (b_val + 4 * i) >> 2;
+                if (logit) {
+                    kk_pts[50 * nkk + i] = vm->ram_ts[w];
+                    kk_in[50 * nkk + i] =
+                        (uint32_t)(st[i / 2] >> (32 * (i & 1)));
+                }
+                vm->ram_ts[w] = (uint32_t)clk;
             }
             keccak_f1600(st);
             for (int i = 0; i < 25; i++) {
@@ -421,6 +437,14 @@ long nexus_vm_run(
                     !mem_check(vm, b_val + 8 * i + 4, 4, 1)) return -2;
                 memcpy(vm->mem + b_val + 8 * i, &st[i], 8);
             }
+            if (logit) {
+                kk_clk[nkk] = (uint32_t)clk;
+                kk_addr[nkk] = b_val;
+                for (int i = 0; i < 50; i++)
+                    kk_out[50 * nkk + i] =
+                        (uint32_t)(st[i / 2] >> (32 * (i & 1)));
+            }
+            nkk++;
             break;
         }
         default:
@@ -471,6 +495,7 @@ long nexus_vm_run(
             stats_out[0] = vm->max_heap;
             stats_out[1] = vm->min_stack;
             stats_out[2] = vm->n_logs;
+            stats_out[3] = (uint32_t)nkk;
             return n;
         }
     }

@@ -104,7 +104,7 @@ def k_trace_native(program_words, entry=None, rom_image=None,
         mem, mode, layout.program_start, prog_end, cache,
         layout.exit_code, layout.heap_start, layout.stack_top, entry,
         private_input, cap=max(rc["n_steps"], 1), max_steps=max_steps,
-        record=True)
+        record=True, kk_cap=rc["n_keccak"])
 
     # push the final state back into the emulator object and reuse its
     # View construction
@@ -120,6 +120,7 @@ def k_trace_native(program_words, entry=None, rom_image=None,
         "final_regs": r["regs"],
         "final_reg_ts": r["reg_ts"],
         "ram_final": ram_final,
+        "keccak_log": r["keccak_log"],
     }
     return view, Trace(steps=r["steps"], k=k,
                        machine_state=machine_state)

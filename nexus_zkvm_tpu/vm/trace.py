@@ -19,6 +19,7 @@ import numpy as np
 from .decoder import Instruction
 from .emulator import HarvardEmulator, LinearEmulator, VMExited
 from .encoder import encode_instruction
+from .isa import Opcode
 from .memory import LinearMemoryLayout
 
 __all__ = ["ProgramInfo", "View", "Trace", "k_trace", "bb_trace",
@@ -92,18 +93,23 @@ def k_trace(program_words, entry: int | None = None,
 
     if backend in ("native", "auto"):
         from .native_trace import k_trace_native, native_available
-        from .isa import Opcode
-        if native_available():
+        from .decoder import decode_instruction as _dec
+        # dynamic precompiles execute arbitrary host Python -- those
+        # programs stay on the Python emulator (static check)
+        has_precompile = any(
+            _dec(int(w)).opcode == Opcode.PRECOMPILE
+            for w in program_words)
+        if has_precompile and backend == "native":
+            raise RuntimeError(
+                "native emulator cannot run dynamic precompiles")
+        if native_available() and not has_precompile:
             view, trace = k_trace_native(
                 program_words, entry=entry, rom_image=rom_image,
                 ram_image=ram_image, public_input=public_input,
                 private_input=private_input, ad=ad, k=k,
                 max_steps=max_steps)
-            # the C core does not record keccak state logs yet; the
-            # machine AIR needs them, so fall back for such traces
-            if not (trace.steps["opcode"] == int(Opcode.KECCAKF)).any():
-                return view, trace
-        elif backend == "native":
+            return view, _k_pad(trace, k)
+        if backend == "native":
             raise RuntimeError("native emulator unavailable")
 
     harv = HarvardEmulator(program_words, base=ELF_TEXT_START, entry=entry,
@@ -124,8 +130,32 @@ def k_trace(program_words, entry: int | None = None,
     except VMExited:
         pass
     view = lin.finalize()
-    return view, Trace(steps=lin.recorder.arrays(), k=k,
-                       machine_state=lin.machine_state())
+    return view, _k_pad(Trace(steps=lin.recorder.arrays(), k=k,
+                              machine_state=lin.machine_state()), k)
+
+
+def _k_pad(trace: "Trace", k: int) -> "Trace":
+    """Pad the final block to `k` steps with UNIMPL rows (reference
+    `k_step` padding, `vm/src/trace.rs:218-247`): clk keeps counting,
+    pc freezes at the last next_pc, nothing executes."""
+    n = trace.n_steps
+    if k <= 1 or n == 0 or n % k == 0:
+        return trace
+    pad = k - n % k
+    s = trace.steps
+    out = {}
+    for name, arr in s.items():
+        ext = np.zeros(pad, arr.dtype)
+        if name == "clk":
+            ext[:] = s["clk"][-1] + 1 + np.arange(pad)
+        elif name in ("pc", "next_pc"):
+            ext[:] = s["next_pc"][-1]
+        elif name == "opcode":
+            ext[:] = int(Opcode.UNIMPL)
+        elif name == "word":
+            ext[:] = 0xC000_0073
+        out[name] = np.concatenate([arr, ext])
+    return Trace(steps=out, k=k, machine_state=trace.machine_state)
 
 
 def bb_trace(program_words, **kw):

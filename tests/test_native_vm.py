@@ -160,3 +160,35 @@ def test_native_throughput_sanity():
     dt = time.time() - t0
     assert trace.n_steps > 4_000_000
     assert trace.n_steps / dt > 2_000_000, f"only {trace.n_steps/dt:.0f}/s"
+
+
+def test_native_keccak_state_log_parity():
+    """The C core records keccak state logs (clk/addr/in/out/prev_ts)
+    bit-identical to the Python emulator, so keccak workloads no longer
+    fall back to the slow path."""
+    import numpy as np
+    from nexus_zkvm_tpu.vm import asm, k_trace
+    src = """
+        addi a7, zero, 0x403
+        ecall
+        addi t0, a0, 0
+        addi t1, zero, 7
+        sw   t1, 0(t0)
+        keccakf x0, t0, x0
+        keccakf x0, t0, x0
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """
+    words = asm.assemble(src)
+    vp, tp = k_trace(words, backend="python")
+    vn, tn = k_trace(words, backend="native")
+    for k in tp.steps:
+        assert np.array_equal(tp.steps[k], tn.steps[k]), k
+    kp = tp.machine_state["keccak_log"]
+    kn = tn.machine_state["keccak_log"]
+    assert len(kp) == len(kn) == 2
+    for a, b in zip(kp, kn):
+        for f in ("clk", "addr", "in_words", "out_words", "prev_ts"):
+            assert list(np.atleast_1d(a[f])) == list(np.atleast_1d(b[f]))
+    assert tp.machine_state["ram_final"] == tn.machine_state["ram_final"]

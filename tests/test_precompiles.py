@@ -75,3 +75,65 @@ def test_custom_registration():
     s = trace.steps
     idx = (s["opcode"] == int(Opcode.PRECOMPILE)).nonzero()[0]
     assert s["a_val"][idx[0]] == 42
+
+
+def test_dummy_div_proven_constraints():
+    """A guest using the dummy_div precompile fills the dispatch +
+    circuit components and satisfies every constraint (the proven
+    path, ref `precompiles/src/traits.rs:38-46`)."""
+    from nexus_zkvm_tpu.machine.driver import build_machine_traces
+    from nexus_zkvm_tpu.air.testing import assert_constraints
+    view, trace = k_trace(asm.assemble("""
+        li t0, 100
+        li t1, 7
+        precompile 0, t2, t0, t1
+        li t3, 50
+        precompile 0, t4, t3, zero
+        add s0, t2, t4
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """))
+    comps, log_sizes, traces = build_machine_traces(view, trace)
+    assert any(c.name == "pre_dummy_div" for c in comps)
+    assert_constraints(comps, log_sizes, traces)
+
+
+def test_dummy_div_forged_result_rejected():
+    from nexus_zkvm_tpu.machine.driver import build_machine_traces
+    from nexus_zkvm_tpu.air.testing import (assert_constraints,
+                                            ConstraintViolation)
+    from nexus_zkvm_tpu.machine.precomp import PRECOMP_SCHEMA
+    view, trace = k_trace(asm.assemble("""
+        li t0, 100
+        li t1, 7
+        precompile 0, t2, t0, t1
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """))
+    comps, log_sizes, traces = build_machine_traces(view, trace)
+    ci = next(i for i, c in enumerate(comps)
+              if c.name == "pre_dummy_div")
+    tr = [col.copy() for col in traces[ci]]
+    tr[PRECOMP_SCHEMA.slot("a", 0)][0] += 1     # claim 100//7 == 15
+    traces = list(traces)
+    traces[ci] = tr
+    with pytest.raises(ConstraintViolation):
+        assert_constraints(comps, log_sizes, traces)
+
+
+def test_unproven_precompile_rejected_at_prove():
+    """dummy_hash executes natively but has no circuit: the machine
+    trace builder must reject it, not silently skip the rows."""
+    from nexus_zkvm_tpu.machine.driver import build_machine_traces
+    view, trace = k_trace(asm.assemble("""
+        li t0, 5
+        li t1, 6
+        precompile 1, t2, t0, t1
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """))
+    with pytest.raises(ValueError, match="without circuits"):
+        build_machine_traces(view, trace)

@@ -319,3 +319,43 @@ def test_elf_load_reference_fixture():
     assert len(elf.instructions) > 100
     ins = decode_instruction(elf.instructions[(elf.entry - elf.base) // 4])
     assert ins.opcode != Opcode.UNIMPL
+
+
+def test_k_trace_padding():
+    """k>1 pads the final block with UNIMPL steps: clk keeps counting,
+    pc freezes (reference `k_step`, vm/src/trace.rs:218-247)."""
+    import numpy as np
+    from nexus_zkvm_tpu.vm import asm, k_trace
+    from nexus_zkvm_tpu.vm.isa import Opcode
+    src = """
+        addi t0, zero, 1
+        addi t1, zero, 2
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """
+    for backend in ("python", "native"):
+        view, tr = k_trace(asm.assemble(src), k=4, backend=backend)
+        assert tr.n_steps % 4 == 0
+        ops = tr.steps["opcode"]
+        pad = ops == int(Opcode.UNIMPL)
+        assert pad.sum() == tr.n_steps - 5
+        assert pad[5:].all() and not pad[:5].any()
+        assert np.all(np.diff(tr.steps["clk"]) == 1)
+        assert (tr.steps["pc"][5:] == tr.steps["next_pc"][4]).all()
+
+
+def test_k_trace_padded_proof_fill():
+    """A k-padded trace fills and satisfies the machine AIR."""
+    from nexus_zkvm_tpu.vm import asm, k_trace
+    from nexus_zkvm_tpu.machine.driver import build_machine_traces
+    from nexus_zkvm_tpu.air.testing import assert_constraints
+    src = """
+        addi t0, zero, 5
+        addi a0, zero, 0
+        addi a7, zero, 0x201
+        ecall
+    """
+    view, tr = k_trace(asm.assemble(src), k=8)
+    comps, log_sizes, traces = build_machine_traces(view, tr)
+    assert_constraints(comps, log_sizes, traces)
