@@ -399,8 +399,15 @@ def generate_interaction(component, main_cols, pre_cols, relations,
     XLA program per (component, shapes) — layout constants enter as
     traced params so the compiled graph is program-independent.
     """
+    def _nc(x):
+        if x is None:
+            return 0
+        if hasattr(x, "ndim") and x.ndim >= 2:
+            return int(x.shape[0])
+        return len(x)
+
     key = ("gen", component.jit_key(), log_size,
-           _relations_key(relations), len(main_cols), len(pre_cols))
+           _relations_key(relations), _nc(main_cols), _nc(pre_cols))
     fn = _GEN_JIT.get(key)
     if fn is None:
         def raw(main, pre, rel_flat, params):

@@ -43,6 +43,7 @@ class RoleCommitment:
     evals: dict               # eval_log -> (C, 2^s) device, committed
     cols_by_size: dict        # eval_log -> [column indices], plan order
     trees: dict               # eval_log -> merkle.MerkleTree
+    natural: dict = None      # n -> (col index list, (Cn, 2^n) device)
 
     def sizes_desc(self):
         return sorted(self.trees, reverse=True)
@@ -57,10 +58,18 @@ class RoleCommitment:
 
     def coeff_rows(self, col_idxs):
         """(len(col_idxs), 2^n) device batch (all same trace size)."""
+        return self._rows(self.coeff_batches, col_idxs)
+
+    def natural_rows(self, col_idxs):
+        """Natural-order trace values, device (no re-transfer)."""
+        assert self.natural, "natural batches not retained"
+        return self._rows(self.natural, col_idxs)
+
+    def _rows(self, batches, col_idxs):
         ns = {self.trace_logs[i] for i in col_idxs}
         assert len(ns) == 1
         n = ns.pop()
-        idxs, batch = self.coeff_batches[n]
+        idxs, batch = batches[n]
         rowmap = {ci: r for r, ci in enumerate(idxs)}
         rows = jnp.asarray(np.asarray([rowmap[i] for i in col_idxs],
                                       np.int64))
@@ -108,22 +117,48 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
                           trees=trees)
 
 
-def commit_columns(role: str, columns, trace_logs, log_blowup: int
-                   ) -> RoleCommitment:
+def _ship(batch: np.ndarray):
+    """Host (C, M) uint32 -> device uint32, transferred at the smallest
+    dtype that holds the data (most trace columns are bytes/flags;
+    over a thin host<->device link this is a 2-4x transfer win)."""
+    hi = int(batch.max()) if batch.size else 0
+    if hi < (1 << 8):
+        small = batch.astype(np.uint8)
+    elif hi < (1 << 16):
+        small = batch.astype(np.uint16)
+    else:
+        small = batch
+    return jnp.asarray(small).astype(jnp.uint32)
+
+
+def commit_columns(role: str, columns, trace_logs, log_blowup: int,
+                   keep_natural: bool = True) -> RoleCommitment:
     """columns: natural-order numpy uint32 arrays of sizes
     2^trace_logs[i] (host); stacked per size on the host, shipped to
-    device once."""
+    device ONCE (downcast transfer), reordered and interpolated on
+    device.  The natural-order device copy is retained for interaction
+    generation (no second transfer of the main trace)."""
     by_n = {}
     for i, n in enumerate(trace_logs):
         by_n.setdefault(n, []).append(i)
-    coeff_batches = {}
+    coeff_batches, natural = {}, {}
     for n, idxs in by_n.items():
-        batch = np.stack([np.asarray(columns[i], np.uint32)
-                          for i in idxs])
-        batch = batch[:, layout_to_natural(n)]
-        cf = cfft.interpolate(jnp.asarray(batch))
+        cols_n = [columns[i] for i in idxs]
+        if all(isinstance(c, np.ndarray) for c in cols_n):
+            dev = _ship(np.stack([c.astype(np.uint32)
+                                  for c in cols_n]))
+        else:
+            # already device-resident (e.g. interaction columns) --
+            # never bounce them through the host
+            dev = jnp.stack([jnp.asarray(c, jnp.uint32)
+                             for c in cols_n])
+        if keep_natural:
+            natural[n] = (idxs, dev)
+        cf = cfft.interpolate(dev[:, jnp.asarray(layout_to_natural(n))])
         coeff_batches[n] = (idxs, cf)
-    return _commit_groups(role, trace_logs, coeff_batches, log_blowup)
+    rc = _commit_groups(role, trace_logs, coeff_batches, log_blowup)
+    rc.natural = natural
+    return rc
 
 
 def commit_from_coeffs(role: str, coeffs, trace_logs, log_blowup: int

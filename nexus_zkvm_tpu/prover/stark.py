@@ -303,11 +303,18 @@ def prove(components, log_sizes, main_traces, channel,
     relations = draw_relations(channel, _relation_widths(infos))
     inter_qm31 = []      # per component: list of (M, 4) arrays
     claimed_sums = []
-    pre_per_comp = _pre_arrays_per_component(components, log_sizes, infos,
-                                             pre_cols, plan)
     for c, comp in enumerate(components):
+        # natural-order rows straight from the committed device copies:
+        # the main trace is never transferred twice
+        main_idx = [plan.metas[i].ridx for i in plan.by_role["main"]
+                    if plan.metas[i].comp == c]
+        main_nat = (rc_main.natural_rows(main_idx)[0] if main_idx
+                    else None)
+        pre_idx = [plan.metas[i].ridx for i in plan.by_role["pre"]
+                   if plan.metas[i].comp == c]
+        pre_nat = (rc_pre.natural_rows(pre_idx)[0] if pre_idx else None)
         cols, claimed = generate_interaction(
-            comp, main_traces[c], pre_per_comp[c], relations, log_sizes[c])
+            comp, main_nat, pre_nat, relations, log_sizes[c])
         inter_qm31.append(cols)
         claimed_sums.append(np.asarray(claimed, np.uint64))
     channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
@@ -316,7 +323,7 @@ def prove(components, log_sizes, main_traces, channel,
     for c in range(len(components)):
         for col in inter_qm31[c]:
             for t in range(4):
-                inter_cols.append(np.asarray(col[:, t], np.uint32))
+                inter_cols.append(col[:, t])        # device, no bounce
                 inter_logs.append(log_sizes[c])
     rc_inter = (pcs.commit_columns("inter", inter_cols, inter_logs, blowup)
                 if inter_cols else None)
@@ -628,16 +635,6 @@ def _selftest_per_constraint(comp, info, plan, log_sizes, c, relations,
               "(combination-order bug?)", flush=True)
 
 
-def _pre_arrays_per_component(components, log_sizes, infos, pre_cols, plan):
-    out = []
-    k = len(plan.pre_sizes)
-    for c, comp in enumerate(components):
-        own = pre_cols[k:k + infos[c].n_pre]
-        out.append(own)
-        k += infos[c].n_pre
-    return out
-
-
 # ---------------------------------------------------------------------------
 # Verify
 # ---------------------------------------------------------------------------
@@ -671,7 +668,8 @@ def _verify(components, proof, channel, config):
 
     # Recompute the preprocessed commitment (prover simulation), compare.
     pre_cols, pre_logs = _pre_columns(components, log_sizes, infos, plan)
-    rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup)
+    rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup,
+                                keep_natural=False)
     if [(s, r.tolist()) for s, r in rc_pre.roots()] != \
             [(s, np.asarray(r).tolist()) for s, r in proof.roots["pre"]]:
         return _vfail('preprocessed root mismatch')
