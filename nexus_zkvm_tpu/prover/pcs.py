@@ -29,6 +29,7 @@ from ..ops import cfft, merkle
 from ..ops.circle import (
     bit_reverse_indices, natural_to_layout, layout_to_natural,
 )
+from ..parallel.context import shard_rows
 
 __all__ = ["RoleCommitment", "commit_columns", "commit_from_coeffs",
            "open_positions"]
@@ -152,6 +153,7 @@ def commit_columns(role: str, columns, trace_logs, log_blowup: int,
             # never bounce them through the host
             dev = jnp.stack([jnp.asarray(c, jnp.uint32)
                              for c in cols_n])
+        dev = shard_rows(dev)      # active mesh: rows over devices
         if keep_natural:
             natural[n] = (idxs, dev)
         cf = cfft.interpolate(dev[:, jnp.asarray(layout_to_natural(n))])
@@ -168,8 +170,8 @@ def commit_from_coeffs(role: str, coeffs, trace_logs, log_blowup: int
         by_n.setdefault(n, []).append(i)
     coeff_batches = {}
     for n, idxs in by_n.items():
-        coeff_batches[n] = (idxs, jnp.stack(
-            [jnp.asarray(coeffs[i]) for i in idxs]))
+        coeff_batches[n] = (idxs, shard_rows(jnp.stack(
+            [jnp.asarray(coeffs[i]) for i in idxs])))
     return _commit_groups(role, trace_logs, coeff_batches, log_blowup)
 
 
