@@ -29,6 +29,44 @@ _TEMPLATE = """\
     ecall
 """
 
+# `new NAME` (no .s suffix) scaffolds a host project like the
+# reference's `cargo nexus host` (`cli/src/command/host.rs:18-29`):
+# a runtime-based guest plus a host driver script.
+_GUEST_TEMPLATE = """\
+# Guest program (runtime dialect — see nexus_zkvm_tpu/vm/runtime.py).
+# `main` is called by the runtime; its return value is the exit code.
+# Helpers: rt_input_word, rt_output_word, rt_alloc, rt_log,
+#          rt_read_private, rt_cycle_mark.
+main:
+    mv   s0, ra
+    addi a0, zero, 0
+    call rt_input_word       # a0 = first public input word
+    add  a1, a0, a0          # ... compute ...
+    addi a0, zero, 0
+    call rt_output_word      # output[0] = result
+    mv   ra, s0
+    addi a0, zero, 0         # exit code
+    ret
+"""
+
+_HOST_TEMPLATE = """\
+#!/usr/bin/env python3
+\"\"\"Host driver: trace, prove, and verify the guest.\"\"\"
+import sys
+
+from nexus_zkvm_tpu.sdk import (Guest, LocalProver, encode_u32s,
+                                decode_output, verify)
+
+guest = Guest.from_asm(open("guest.s").read())
+prover = LocalProver(guest)
+
+n = int(sys.argv[1]) if len(sys.argv) > 1 else 21
+view, proof = prover.prove_with_input(public_input=encode_u32s(n))
+print("exit code:", view.exit_code)
+print("output:", decode_output(view, 1))
+print("verified:", verify(view, proof))
+"""
+
 
 def _load_guest(path: str):
     from .sdk import Guest
@@ -58,6 +96,10 @@ def main(argv=None):
                        nargs="*", help="private input bytes")
         p.add_argument("--cpu", action="store_true",
                        help="force the CPU backend")
+        p.add_argument("--progress", action="store_true",
+                       help="live phase ticker on stderr")
+        p.add_argument("--profile", action="store_true",
+                       help="per-phase host profile on stderr")
         if cmd == "prove":
             p.add_argument("-o", "--output", default="proof.bin")
 
@@ -68,16 +110,31 @@ def main(argv=None):
     p_ver.add_argument("proof", help="proof bundle from `prove`")
     p_ver.add_argument("--cpu", action="store_true",
                        help="force the CPU backend")
+    p_ver.add_argument("--progress", action="store_true",
+                       help="live phase ticker on stderr")
+    p_ver.add_argument("--profile", action="store_true",
+                       help="per-phase host profile on stderr")
 
     args = ap.parse_args(argv)
 
     if args.cmd == "new":
-        path = args.name if args.name.endswith(".s") else args.name + ".s"
-        if os.path.exists(path):
-            ap.error(f"{path} already exists")
-        with open(path, "w") as f:
-            f.write(_TEMPLATE)
-        print(f"wrote {path}")
+        if args.name.endswith(".s"):          # single-file guest
+            if os.path.exists(args.name):
+                ap.error(f"{args.name} already exists")
+            with open(args.name, "w") as f:
+                f.write(_TEMPLATE)
+            print(f"wrote {args.name}")
+            return 0
+        # project scaffold (ref `cargo nexus host`)
+        if os.path.exists(args.name):
+            ap.error(f"{args.name}/ already exists")
+        os.makedirs(args.name)
+        with open(os.path.join(args.name, "guest.s"), "w") as f:
+            f.write(_GUEST_TEMPLATE)
+        with open(os.path.join(args.name, "host.py"), "w") as f:
+            f.write(_HOST_TEMPLATE)
+        print(f"scaffolded {args.name}/ (guest.s + host.py); "
+              f"run: python {args.name}/host.py 21")
         return 0
 
     if getattr(args, "cpu", False):
@@ -87,11 +144,22 @@ def main(argv=None):
 
     from .sdk import (LocalProver, bundle_to_bytes, bundle_from_bytes,
                       verify as verify_fn)
+    from .utils import enable_progress, profiled
+
+    if getattr(args, "progress", False):
+        enable_progress()
+
+    from contextlib import nullcontext
+    prof_ctx = profiled() if getattr(args, "profile", False) \
+        else nullcontext()
 
     if args.cmd == "verify":
         view, proof = bundle_from_bytes(open(args.proof, "rb").read())
         t0 = time.time()
-        ok = verify_fn(view, proof)
+        with prof_ctx as prof:
+            ok = verify_fn(view, proof)
+        if prof is not None:
+            print(prof.report(), file=sys.stderr)
         print(f"exit code: {view.exit_code}")
         out = view.public_output.rstrip(b"\0")
         if out:
@@ -117,8 +185,11 @@ def main(argv=None):
 
     if args.cmd == "prove":
         t0 = time.time()
-        view, proof = prover.prove_with_input(
-            public_input=_input_bytes(args), private_input=priv)
+        with prof_ctx as prof:
+            view, proof = prover.prove_with_input(
+                public_input=_input_bytes(args), private_input=priv)
+        if prof is not None:
+            print(prof.report(), file=sys.stderr)
         blob = bundle_to_bytes(view, proof)
         with open(args.output, "wb") as f:
             f.write(blob)

@@ -25,9 +25,26 @@ class Guest:
     metadata: dict = field(default_factory=dict)
 
     @staticmethod
-    def from_asm(source: str) -> "Guest":
-        """Assemble RV32IM source (see `vm.asm` for the dialect)."""
-        return Guest(program_words=_asm.assemble(source))
+    def from_asm(source: str, runtime: bool | str = "auto") -> "Guest":
+        """Assemble RV32IM source (see `vm.asm` for the dialect).
+
+        runtime=True (or "auto" with a ``main:`` label present and no
+        ``_start``) splices in the guest runtime prelude/library
+        (`vm/runtime.py`): start code, allocator, and the ``rt_*`` IO
+        helpers — the counterpart of linking the reference's
+        `nexus-rt` crate into a guest."""
+        import re
+        if runtime == "auto":
+            runtime = (re.search(r"^\s*main\s*:", source, re.M)
+                       is not None
+                       and "_start" not in source)
+        if runtime:
+            from ..vm.runtime import assemble_guest
+            return Guest(program_words=assemble_guest(source))
+        # guests always load at ELF_TEXT_START; assembling at the real
+        # base makes absolute addressing (`la`, `.word` data) correct
+        return Guest(program_words=_asm.assemble(source,
+                                                 base=ELF_TEXT_START))
 
     @staticmethod
     def from_words(words) -> "Guest":

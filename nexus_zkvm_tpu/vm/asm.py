@@ -46,6 +46,28 @@ def _parse_mem(tok: str):
     return _int(off or "0"), _reg(rest.rstrip(")"))
 
 
+def _split_imm(val: int):
+    """val -> (hi, lo_s) with val = hi + lo_s (lui/addi split)."""
+    val &= 0xFFFF_FFFF
+    lo = val & 0xFFF
+    lo_s = lo - 0x1000 if lo >= 0x800 else lo
+    hi = (val - lo_s) & 0xFFFF_FFFF
+    return hi, lo_s
+
+
+def _line_words(mn: str, args: list) -> int:
+    """Words a source line expands to (pass 1 must know, or labels
+    after a multi-word pseudo-instruction would shift)."""
+    if mn == "li":
+        hi, lo_s = _split_imm(_int(args[1]))
+        return 2 if (hi and lo_s) else 1
+    if mn == "la":
+        return 2          # always lui+addi (label may be forward)
+    if mn == ".word":
+        return len(args)
+    return 1
+
+
 def assemble_instructions(source: str, base: int = 0) -> list:
     """Assemble to a list of Instruction (two-pass for labels)."""
     lines = []
@@ -60,8 +82,9 @@ def assemble_instructions(source: str, base: int = 0) -> list:
             labels[label.strip()] = pc
             line = line.strip()
         if line:
+            parts = line.replace(",", " ").split()
             lines.append((pc, line))
-            pc += 4
+            pc += 4 * _line_words(parts[0].lower(), parts[1:])
 
     out = []
     for pc, line in lines:
@@ -78,27 +101,36 @@ def assemble_instructions(source: str, base: int = 0) -> list:
             mn, args = "addi", ["x0", "x0", "0"]
         elif mn == "mv":
             mn, args = "addi", [args[0], args[1], "0"]
-        elif mn == "li":
-            val = _int(args[1]) & 0xFFFF_FFFF
-            lo = val & 0xFFF
-            lo_s = lo - 0x1000 if lo >= 0x800 else lo
-            hi = (val - lo_s) & 0xFFFF_FFFF
-            if hi:
+        elif mn in ("li", "la"):
+            if mn == "la":
+                val = labels[args[1]] & 0xFFFF_FFFF
+            else:
+                val = _int(args[1]) & 0xFFFF_FFFF
+            hi, lo_s = _split_imm(val)
+            if hi or mn == "la":
                 out.append(Instruction(Opcode.LUI, InstrType.U,
                                        rd=_reg(args[0]), imm=hi))
-                if lo_s:
+                if lo_s or mn == "la":
                     out.append(Instruction(
                         Opcode.ADDI, InstrType.I, rd=_reg(args[0]),
                         rs1=_reg(args[0]), imm=lo_s & 0xFFFF_FFFF))
-                else:
-                    continue
             else:
                 out.append(Instruction(Opcode.ADDI, InstrType.I,
                                        rd=_reg(args[0]), rs1=0,
                                        imm=lo_s & 0xFFFF_FFFF))
             continue
+        elif mn == ".word":
+            for tok in args:
+                out.append(_RawWord(_int(tok) & 0xFFFF_FFFF))
+            continue
         elif mn == "j":
             mn, args = "jal", ["x0", args[0]]
+        elif mn == "call":
+            mn, args = "jal", ["ra", args[0]]
+        elif mn == "beqz":
+            mn, args = "beq", [args[0], "x0", args[1]]
+        elif mn == "bnez":
+            mn, args = "bne", [args[0], "x0", args[1]]
         elif mn == "ret":
             mn, args = "jalr", ["x0", "0(ra)"]
 
@@ -154,11 +186,26 @@ def assemble_instructions(source: str, base: int = 0) -> list:
             raise ValueError(f"cannot assemble {mn}")
         out.append(ins)
 
-    return [Instruction(i.opcode, i.itype, i.rd, i.rs1, i.rs2, i.imm,
-                        encode_instruction(i)) for i in out]
+    final = []
+    for i in out:
+        if isinstance(i, _RawWord):
+            final.append(i)
+        else:
+            final.append(Instruction(i.opcode, i.itype, i.rd, i.rs1,
+                                     i.rs2, i.imm,
+                                     encode_instruction(i)))
+    return final
+
+
+class _RawWord:
+    """A literal data word emitted by the ``.word`` directive."""
+    __slots__ = ("word",)
+
+    def __init__(self, word: int):
+        self.word = word
 
 
 def assemble(source: str, base: int = 0) -> list:
     """Assemble to a list of u32 words."""
-    return [encode_instruction(i) for i in assemble_instructions(source,
-                                                                 base)]
+    return [i.word if isinstance(i, _RawWord) else encode_instruction(i)
+            for i in assemble_instructions(source, base)]

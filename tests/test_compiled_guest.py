@@ -47,6 +47,27 @@ def test_fixture_emulates(path):
 
 
 @needs_fixtures
+@pytest.mark.parametrize("path", [FIB10, FIB10_NOPRE])
+def test_fixture_golden_trace(path):
+    """Golden differential values for the fixture ELFs: instruction
+    count, final registers, and the syscall-visible state must never
+    drift (reference two-pass semantics, `vm/src/trace.rs:302-348`).
+    Both fixtures are the same guest (+-precompile attributes) and
+    converge to identical machine state."""
+    view, trace = _trace(path, "python")
+    ms = trace.machine_state
+    assert trace.n_steps == 6881
+    regs = [int(r) for r in ms["final_regs"]]
+    assert regs[1] == 0xB8            # ra: inside the exit shim
+    assert regs[2] == 0x112930        # sp: runtime stack after ecalls
+    assert regs[3] == 0x1F30          # gp: __global_pointer$
+    assert regs[17] == 0x201          # a7: SYS_EXIT
+    assert regs[10] == 0              # a0: exit code 0
+    assert all(r == 0 for r in regs[18:])
+    assert view.public_output[:4] == b"\x00\x00\x00\x00"
+
+
+@needs_fixtures
 def test_fixture_python_native_parity():
     """The C fast path must produce a bit-identical trace on a real
     compiled binary (golden two-pass semantics,
