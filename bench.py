@@ -42,7 +42,7 @@ def build_workload(log_size: int):
         addi a7, zero, 0x201
         ecall
     """
-    return k_trace(asm.assemble(src))
+    return k_trace(asm.assemble(src), backend="auto")
 
 
 def main():
@@ -50,6 +50,10 @@ def main():
     ap.add_argument("--log-size", type=int, default=16)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests/dev)")
+    ap.add_argument("--profile", action="store_true",
+                    help="print a per-phase host profile to stderr")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="skip the verification timing")
     args = ap.parse_args()
 
     if args.cpu:
@@ -57,9 +61,14 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # NOTE: separate cache dir from the CPU test suite — the axon
+    # backend's host writes CPU-AOT entries compiled for the REMOTE
+    # machine's CPU features; loading those in a local CPU process
+    # segfaults (machine-feature mismatch)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(
-                          os.path.abspath(__file__)), ".jax_cache"))
+                          os.path.abspath(__file__)),
+                          ".jax_cache" if args.cpu else ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
@@ -70,15 +79,26 @@ def main():
     t_trace = time.perf_counter() - t0
     n_rows = trace.n_steps
 
+    from nexus_zkvm_tpu.utils import profiled
+
     # warm-up run compiles every kernel (cached for the timed run)
     proof = prove_machine(view, trace)
     t0 = time.perf_counter()
-    proof = prove_machine(view, trace)
+    with profiled() as prof:
+        proof = prove_machine(view, trace)
     t_prove = time.perf_counter() - t0
+    if args.profile:
+        print(prof.report(), file=sys.stderr, flush=True)
 
-    t0 = time.perf_counter()
-    ok = verify_machine(view, proof)
-    t_verify = time.perf_counter() - t0
+    if args.skip_verify:
+        t_verify, ok = 0.0, True
+    else:
+        t0 = time.perf_counter()
+        with profiled() as vprof:
+            ok = verify_machine(view, proof)
+        t_verify = time.perf_counter() - t0
+        if args.profile:
+            print(vprof.report(), file=sys.stderr, flush=True)
     assert ok, "proof failed to verify"
 
     rows_per_sec = n_rows / t_prove
@@ -95,6 +115,7 @@ def main():
             "t_verify_s": round(t_verify, 3),
             "proof_bytes": proof.size_estimate(),
             "backend": jax.default_backend(),
+            "phases": prof.phase_seconds(),
         },
     }))
 

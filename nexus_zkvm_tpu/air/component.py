@@ -395,7 +395,9 @@ def generate_interaction(component, main_cols, pre_cols, relations,
 
     Returns (inter_cols, claimed_sum): inter_cols is a list of B
     (2^log_size, 4) uint32 jnp arrays (natural order), claimed_sum a
-    (4,) uint64 numpy array.  The whole generation is one jitted
+    (4,) DEVICE array (callers np.asarray it after dispatching every
+    component, so the per-component executions pipeline instead of
+    host-syncing one by one).  The whole generation is one jitted
     XLA program per (component, shapes) — layout constants enter as
     traced params so the compiled graph is program-independent.
     """
@@ -406,6 +408,7 @@ def generate_interaction(component, main_cols, pre_cols, relations,
             return int(x.shape[0])
         return len(x)
 
+    from ..utils.profile import scope
     key = ("gen", component.jit_key(), log_size,
            _relations_key(relations), _nc(main_cols), _nc(pre_cols))
     fn = _GEN_JIT.get(key)
@@ -416,12 +419,12 @@ def generate_interaction(component, main_cols, pre_cols, relations,
                                          log_size, params)
         fn = jax.jit(raw)
         _GEN_JIT[key] = fn
-    cols = fn(_as_matrix(main_cols), _as_matrix(pre_cols),
-              _relations_flat(relations), _params_flat(component))
-    if not cols:
-        return [], np.zeros(4, np.uint64)
-    claimed = np.asarray(cols[-1][-1], np.uint64)
-    return cols, claimed
+    with scope(f"gen:{component.name}"):
+        cols = fn(_as_matrix(main_cols), _as_matrix(pre_cols),
+                  _relations_flat(relations), _params_flat(component))
+        if not cols:
+            return [], np.zeros(4, np.uint64)
+    return cols, cols[-1][-1]
 
 
 def _as_matrix(cols):

@@ -107,6 +107,7 @@ def assert_constraints(components, log_sizes, traces) -> None:
                for _, arr in comp.preprocessed(n)]
         inter, claimed = generate_interaction(comp, traces[ci], pre,
                                               relations, n)
+        claimed = np.asarray(claimed, np.uint64)
         total = F.np_qm31_add(total, claimed)
         ctx = _AssertCtx(traces[ci], pre, inter, relations, claimed, n,
                          params=comp.params())

@@ -341,8 +341,10 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
 
 def prove_machine(view, trace, config: PcsConfig = PcsConfig(),
                   segment_log: int | None = None) -> MachineProof:
-    comps, log_sizes, traces = build_machine_traces(view, trace,
-                                                    segment_log)
+    from ..utils.profile import scope
+    with scope("fills"):
+        comps, log_sizes, traces = build_machine_traces(view, trace,
+                                                        segment_log)
     channel = Blake2sChannel()
     _mix_view(channel, view)
     proof = prove(comps, log_sizes, traces, channel, config)

@@ -409,9 +409,28 @@ def np_qm31_neg(a):
     return np_m31_neg(np.asarray(a, np.uint64))
 
 
+def _np_qm31_mul_scalar(x, y):
+    """(4,) x (4,) fast path in native Python ints — numpy's per-op
+    overhead on 4-element arrays makes the array path ~50x slower,
+    and the verifier is built out of exactly these scalar muls."""
+    a0, a1, a2, a3 = (int(t) for t in x)
+    b0, b1, b2, b3 = (int(t) for t in y)
+    ac0 = (a0 * b0 - a1 * b1) % P
+    ac1 = (a0 * b1 + a1 * b0) % P
+    bd0 = (a2 * b2 - a3 * b3) % P
+    bd1 = (a2 * b3 + a3 * b2) % P
+    hi0 = (a0 * b2 - a1 * b3 + a2 * b0 - a3 * b1) % P
+    hi1 = (a0 * b3 + a1 * b2 + a2 * b1 + a3 * b0) % P
+    lo0 = (ac0 + 2 * bd0 - bd1) % P          # + r*bd, r = 2+i
+    lo1 = (ac1 + 2 * bd1 + bd0) % P
+    return np.array([lo0, lo1, hi0, hi1], np.uint64)
+
+
 def np_qm31_mul(x, y):
     x = np.asarray(x, np.uint64)
     y = np.asarray(y, np.uint64)
+    if x.shape == (4,) and y.shape == (4,):
+        return _np_qm31_mul_scalar(x, y)
     xa, xb = x[..., 0:2], x[..., 2:4]
     ya, yb = y[..., 0:2], y[..., 2:4]
     ac = np_cm31_mul(xa, ya)
@@ -423,6 +442,22 @@ def np_qm31_mul(x, y):
 
 def np_qm31_inv(x):
     x = np.asarray(x, np.uint64)
+    if x.shape == (4,):
+        a0, a1, a2, a3 = (int(t) for t in x)
+        # denom = xa^2 - r * xb^2 (a CM31); invert via conj / norm
+        s0 = (a0 * a0 - a1 * a1) % P
+        s1 = (2 * a0 * a1) % P
+        t0 = (a2 * a2 - a3 * a3) % P
+        t1 = (2 * a2 * a3) % P
+        d0 = (s0 - (2 * t0 - t1)) % P
+        d1 = (s1 - (2 * t1 + t0)) % P
+        ninv = pow((d0 * d0 + d1 * d1) % P, P - 2, P)
+        i0 = (d0 * ninv) % P
+        i1 = (-d1 * ninv) % P
+        return np.array([(a0 * i0 - a1 * i1) % P,
+                         (a0 * i1 + a1 * i0) % P,
+                         ((-a2) * i0 - (-a3) * i1) % P,
+                         ((-a2) * i1 + (-a3) * i0) % P], np.uint64)
     xa, xb = x[..., 0:2], x[..., 2:4]
     denom = np_m31_sub(np_cm31_mul(xa, xa), _np_mul_by_r(np_cm31_mul(xb, xb)))
     dinv = np_cm31_inv(denom)

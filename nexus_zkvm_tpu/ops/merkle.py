@@ -116,19 +116,68 @@ def commit(columns) -> MerkleTree:
     return MerkleTree(layers=layers, columns=cols, by_depth=by_depth)
 
 
+_CLIMB_JIT = {}
+_CLIMB_BLOCK = None  # resolved lazily per backend (see _climb_block_size)
+
+
+def _climb_block_size() -> int:
+    """Layers fused per dispatch.  On a tunneled TPU backend every
+    dispatch is a ~10ms round trip, so fusing 8 layers per program is
+    a big win; XLA:CPU however can crash (stack blowup) compiling the
+    large chained-hash graphs mid-process, and its dispatch overhead
+    is microseconds — keep it per-layer there."""
+    global _CLIMB_BLOCK
+    if _CLIMB_BLOCK is None:
+        import jax
+        _CLIMB_BLOCK = 1 if jax.default_backend() == "cpu" else 8
+    return _CLIMB_BLOCK
+
+
+def _climb_block(leaf: bool, d_top: int, n_blk: int):
+    """Jitted hash of `n_blk` consecutive layers ending at depth
+    d_top (leaf=True: the input is the (R, W) leaf matrix)."""
+    import jax
+    key = ("blk", leaf, d_top, n_blk)
+    fn = _CLIMB_JIT.get(key)
+    if fn is None:
+        def blk(x):
+            out = []
+            below = batch_blake2s_words(x if leaf else
+                                        x.reshape(1 << d_top, 16))
+            out.append(below)
+            for dd in range(d_top - 1, d_top - n_blk, -1):
+                below = batch_blake2s_words(below.reshape(1 << dd, 16))
+                out.append(below)
+            return out
+        fn = jax.jit(blk)
+        _CLIMB_JIT[key] = fn
+    return fn
+
+
 def commit_matrix(matrix) -> MerkleTree:
     """Uniform-depth commit: matrix (C, 2^d) device array, columns are
     the rows.  Leaves hash the transposed matrix; values identical to
-    `commit([matrix[0], ..., matrix[C-1]])`."""
+    `commit([matrix[0], ..., matrix[C-1]])`.
+
+    The climb (leaf hash + every layer) runs as a few fused jitted
+    blocks — ~d/8 device dispatches per tree instead of one per layer
+    (each a full round-trip over a tunneled device link)."""
     matrix = jnp.asarray(matrix)
     C, n = matrix.shape
     d = _log2(n)
+
     layers: list = [None] * (d + 1)
-    below = batch_blake2s_words(matrix.T)
-    layers[d] = below
-    for dd in range(d - 1, -1, -1):
-        below = batch_blake2s_words(below.reshape(1 << dd, 16))
-        layers[dd] = below
+    x = matrix.T
+    top, leaf = d, True
+    blk = _climb_block_size()
+    while top >= 0:
+        n_blk = min(blk, top + 1)
+        out = _climb_block(leaf, top, n_blk)(x)
+        for i, arr in enumerate(out):
+            layers[top - i] = arr
+        x = out[-1]
+        top -= n_blk
+        leaf = False
     by_depth = {d: list(range(C))}
     return MerkleTree(layers=layers, columns=[], by_depth=by_depth,
                       matrix=matrix)
@@ -151,27 +200,43 @@ def _positions_at(queries, max_depth, d):
 
 
 def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
-    """Open the tree at the given bottom-layer query positions."""
+    """Open the tree at the given bottom-layer query positions.
+
+    All row gathers are dispatched first (async device work) and
+    materialized at the end — one host sync for the whole opening
+    instead of one per layer."""
     queries = sorted(set(int(q) for q in queries))
     out = MerkleDecommitment()
     if tree.matrix is not None:
-        vals = tree.all_column_rows(queries)       # one gather
-        out.column_values.extend(vals[c] for c in range(vals.shape[0]))
+        idx = jnp.asarray(np.asarray(queries, np.int64))
+        vals_dev = tree.matrix[:, idx]             # one gather
     else:
+        vals_dev = None
         for ci, col in enumerate(tree.columns):
             d = _log2(col.shape[0])
             pos = _positions_at(queries, tree.max_depth, d)
-            out.column_values.append(tree.column_rows(ci, pos))
+            idx = jnp.asarray(np.asarray(pos, np.int64))
+            out.column_values.append(jnp.asarray(col)[idx])
 
+    sib_rows = []                                  # device gathers
     pos = queries
     for d in range(tree.max_depth, 0, -1):
         pos_set = set(pos)
         sibs = [p ^ 1 for p in pos if (p ^ 1) not in pos_set]
         if sibs:
-            rows = tree.layer_rows(d, sibs)
-            for r in rows:
-                out.sibling_hashes.append(r)
+            idx = jnp.asarray(np.asarray(sibs, np.int64))
+            sib_rows.append(jnp.asarray(tree.layers[d])[idx])
         pos = sorted({p >> 1 for p in pos})
+
+    # single materialization point
+    if vals_dev is not None:
+        vals = np.asarray(vals_dev)
+        out.column_values.extend(vals[c] for c in range(vals.shape[0]))
+    else:
+        out.column_values = [np.asarray(v) for v in out.column_values]
+    for rows in sib_rows:
+        for r in np.asarray(rows):
+            out.sibling_hashes.append(r)
     return out
 
 

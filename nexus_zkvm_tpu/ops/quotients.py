@@ -44,7 +44,7 @@ from .field import (
 from .circle import committed_points
 
 __all__ = ["PointSample", "line_coeffs", "accumulate_quotients",
-           "quotients_at", "n_terms"]
+           "quotients_at", "QuotientsAt", "n_terms"]
 
 
 @dataclass
@@ -83,6 +83,45 @@ def n_terms(samples) -> int:
     return sum(len(s.columns) for s in samples)
 
 
+_ACC_JIT = {}
+
+
+def _accumulate_raw(log_size: int, n_samples: int, k_max: int):
+    """Build the fused per-size accumulation kernel: the whole sample
+    loop (denominator line, batched QM31 inverse, weighted column fold)
+    is ONE traced XLA program — a single device dispatch per size
+    group instead of ~50 eager round-trips per sample (the eager
+    `qm31_inv` pow-ladder alone was ~40 dispatches over a tunneled
+    device link)."""
+    import jax
+    from .field import m31_mul, m31_fold_sum
+
+    xs, ys = committed_points(log_size)
+
+    def raw(columns, zx, zy, dx, dy, A, B, gcs, idx):
+        x_p = jnp.asarray(xs)
+        y_p = jnp.asarray(ys)
+        total = None
+        for s in range(n_samples):
+            # V(p) = dy*(x_p - x_z) - dx*(y_p - y_z)
+            vx = qm31_sub(qm31_from_m31(x_p), zx[s])
+            vy = qm31_sub(qm31_from_m31(y_p), zy[s])
+            V = qm31_sub(qm31_mul(dy[s], vx), qm31_mul(dx[s], vy))
+            inv_V = qm31_inv(V)
+            sel = columns[idx[s]]                        # (K, M)
+            coords = [m31_fold_sum(m31_mul(sel, gcs[s, :, t, None]),
+                                   axis=0) for t in range(4)]
+            num = jnp.stack(coords, axis=-1)             # (M, 4)
+            num = qm31_sub(num, qm31_mul_m31(A[s], y_p))
+            num = qm31_sub(num, B[s])
+            contrib = qm31_mul(num, inv_V)
+            total = contrib if total is None else qm31_add(total,
+                                                           contrib)
+        return total
+
+    return jax.jit(raw)
+
+
 def accumulate_quotients(log_size: int, columns, samples, gamma,
                          gamma_offset: int = 0):
     """Combined quotient evals for one size group, committed order.
@@ -91,52 +130,101 @@ def accumulate_quotients(log_size: int, columns, samples, gamma,
     order); samples: list[PointSample]; gamma: (4,) QM31; the k-th
     (sample, column) term gets coefficient gamma^(gamma_offset + k).
     Returns a (2^log_size, 4) uint32 device array.
+
+    Host precomputes the per-sample line coefficients (tiny numpy);
+    the device runs one fused kernel for the entire size group.
     """
-    from .field import m31_mul, m31_fold_sum
-
-    xs, ys = committed_points(log_size)
-    x_p = jnp.asarray(xs)
-    y_p = jnp.asarray(ys)
     gamma = np.asarray(gamma, np.uint64)
-    columns = jnp.asarray(columns)            # (C, M) matrix
+    S = len(samples)
+    k_max = max(len(s.columns) for s in samples)
 
-    total = None
-    k = gamma_offset
-    for s in samples:
+    zx = np.zeros((S, 4), np.uint32)
+    zy = np.zeros((S, 4), np.uint32)
+    dxs = np.zeros((S, 4), np.uint32)
+    dys = np.zeros((S, 4), np.uint32)
+    As = np.zeros((S, 4), np.uint32)
+    Bs = np.zeros((S, 4), np.uint32)
+    gcs = np.zeros((S, k_max, 4), np.uint32)   # zero pad: no-op terms
+    idx = np.zeros((S, k_max), np.int32)
+
+    g = np_qm31_pow(gamma, gamma_offset)     # then g *= gamma per term
+    for si, s in enumerate(samples):
         z_x, z_y = s.point
         dx, dy = _denominator_coeffs(z_x, z_y)
-        # V(p) = dy*(x_p - x_z) - dx*(y_p - y_z)
-        xz = jnp.asarray(np.asarray(z_x, np.uint32))
-        yz = jnp.asarray(np.asarray(z_y, np.uint32))
-        vx = qm31_sub(qm31_from_m31(x_p), xz)
-        vy = qm31_sub(qm31_from_m31(y_p), yz)
-        V = qm31_sub(qm31_mul(jnp.asarray(np.asarray(dy, np.uint32)), vx),
-                     qm31_mul(jnp.asarray(np.asarray(dx, np.uint32)), vy))
-        inv_V = qm31_inv(V)
-
-        # N(p) = sum_k g^k * (c_k f_k(p) - a_k y_p - b_k); the column
-        # terms batch into one modular weighted fold per coordinate
+        zx[si] = np.asarray(z_x, np.uint64).astype(np.uint32)
+        zy[si] = np.asarray(z_y, np.uint64).astype(np.uint32)
+        dxs[si] = dx.astype(np.uint32)
+        dys[si] = dy.astype(np.uint32)
         A = np.zeros(4, np.uint64)
         B = np.zeros(4, np.uint64)
-        gcs = np.zeros((len(s.columns), 4), np.uint64)
         for j, (ci, v) in enumerate(zip(s.columns, s.values)):
             a, b, c = line_coeffs(z_y, v)
-            g = np_qm31_pow(gamma, k)
-            k += 1
-            gcs[j] = np_qm31_mul(g, c)
+            gcs[si, j] = np_qm31_mul(g, c).astype(np.uint32)
+            idx[si, j] = ci
             A = np_qm31_add(A, np_qm31_mul(g, a))
             B = np_qm31_add(B, np_qm31_mul(g, b))
-        sel = columns[jnp.asarray(np.asarray(s.columns, np.int64))]
-        gcs_d = jnp.asarray(gcs.astype(np.uint32))       # (K, 4)
-        coords = [m31_fold_sum(m31_mul(sel, gcs_d[:, t, None]), axis=0)
-                  for t in range(4)]
-        num = jnp.stack(coords, axis=-1)                 # (M, 4)
-        num = qm31_sub(num, qm31_mul_m31(jnp.asarray(A.astype(np.uint32)),
-                                         y_p))
-        num = qm31_sub(num, jnp.asarray(B.astype(np.uint32)))
-        contrib = qm31_mul(num, inv_V)
-        total = contrib if total is None else qm31_add(total, contrib)
-    return total
+            g = np_qm31_mul(g, gamma)
+        As[si] = A.astype(np.uint32)
+        Bs[si] = B.astype(np.uint32)
+
+    key = (log_size, S, k_max)
+    fn = _ACC_JIT.get(key)
+    if fn is None:
+        fn = _accumulate_raw(log_size, S, k_max)
+        _ACC_JIT[key] = fn
+    return fn(jnp.asarray(columns), zx, zy, dxs, dys, As, Bs, gcs, idx)
+
+
+class QuotientsAt:
+    """Position-independent precompute for the verifier's quotient
+    recompute: per sample the denominator line and the gamma-weighted
+    line coefficients (A = sum g*a, B = sum g*b, gc_k = g_k*c_k) are
+    built ONCE; `.at(position, column_values)` is then a handful of
+    small vectorized numpy ops per sample instead of ~25 QM31
+    operations per (position, column)."""
+
+    def __init__(self, log_size: int, samples, gamma,
+                 gamma_offset: int = 0):
+        xs, ys = committed_points(log_size)
+        self.xs = np.asarray(xs, np.uint64)
+        self.ys = np.asarray(ys, np.uint64)
+        gamma = np.asarray(gamma, np.uint64)
+        self.pre = []
+        g = np_qm31_pow(gamma, gamma_offset)  # then g *= gamma per term
+        for s in samples:
+            z_x = np.asarray(s.point[0], np.uint64)
+            z_y = np.asarray(s.point[1], np.uint64)
+            dx, dy = _denominator_coeffs(z_x, z_y)
+            A = np.zeros(4, np.uint64)
+            B = np.zeros(4, np.uint64)
+            gcs = np.zeros((len(s.columns), 4), np.uint64)
+            for j, (ci, v) in enumerate(zip(s.columns, s.values)):
+                a, b, c = line_coeffs(z_y, v)
+                gcs[j] = np_qm31_mul(g, c)
+                A = np_qm31_add(A, np_qm31_mul(g, a))
+                B = np_qm31_add(B, np_qm31_mul(g, b))
+                g = np_qm31_mul(g, gamma)
+            self.pre.append((z_x, z_y, dx, dy,
+                             list(s.columns), gcs, A, B))
+
+    def at(self, position: int, column_values) -> np.ndarray:
+        """column_values: {column index -> M31 int value}."""
+        from .field import P as _P
+        x_p = self.xs[position]
+        y_p = self.ys[position]
+        total = np.zeros(4, np.uint64)
+        for z_x, z_y, dx, dy, cols, gcs, A, B in self.pre:
+            vx = np_qm31_sub(np_qm31(x_p), z_x)
+            vy = np_qm31_sub(np_qm31(y_p), z_y)
+            V = np_qm31_sub(np_qm31_mul(dy, vx), np_qm31_mul(dx, vy))
+            f = np.asarray([column_values[ci] for ci in cols],
+                           np.uint64)
+            # sum_k gc_k * f_k  (values < P, K < 2^20: no u64 overflow)
+            num = (gcs * f[:, None] % _P).sum(axis=0) % _P
+            num = np_qm31_sub(num, np_qm31_add(np_m31_mul(A, y_p), B))
+            total = np_qm31_add(total,
+                                np_qm31_mul(num, np_qm31_inv(V)))
+        return total
 
 
 def quotients_at(log_size: int, samples, column_values, position: int,
@@ -144,29 +232,9 @@ def quotients_at(log_size: int, samples, column_values, position: int,
     """Host-side recompute of the combined quotient at one position.
 
     column_values: {column index -> M31 int value at this position}.
-    Returns a (4,) uint64 QM31 value.
+    Returns a (4,) uint64 QM31 value.  (One-shot wrapper around
+    `QuotientsAt` — verifiers looping positions should build
+    `QuotientsAt` once per size group.)
     """
-    xs, ys = committed_points(log_size)
-    x_p = np.uint64(xs[position])
-    y_p = np.uint64(ys[position])
-    gamma = np.asarray(gamma, np.uint64)
-
-    total = np.zeros(4, np.uint64)
-    k = gamma_offset
-    for s in samples:
-        z_x, z_y = s.point
-        dx, dy = _denominator_coeffs(z_x, z_y)
-        vx = np_qm31_sub(np_qm31(x_p), np.asarray(z_x, np.uint64))
-        vy = np_qm31_sub(np_qm31(y_p), np.asarray(z_y, np.uint64))
-        V = np_qm31_sub(np_qm31_mul(dy, vx), np_qm31_mul(dx, vy))
-        num = np.zeros(4, np.uint64)
-        for ci, v in zip(s.columns, s.values):
-            a, b, c = line_coeffs(z_y, v)
-            g = np_qm31_pow(gamma, k)
-            k += 1
-            t = np_qm31_mul(g, np_qm31_sub(
-                np_m31_mul(c, np.uint64(column_values[ci])),
-                np_qm31_add(np_m31_mul(a, y_p), b)))
-            num = np_qm31_add(num, t)
-        total = np_qm31_add(total, np_qm31_mul(num, np_qm31_inv(V)))
-    return total
+    return QuotientsAt(log_size, samples, gamma, gamma_offset).at(
+        position, column_values)

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as PS
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import cfft
 from ..ops.blake2s import batch_blake2s_words

@@ -46,6 +46,7 @@ from ..air.component import (
     run_constraints_domain, PointEvalContext, preprocessed_is_first,
 )
 from ..air.lookups import draw_relations
+from ..utils.profile import scope
 from .config import PcsConfig
 from . import pcs
 
@@ -284,51 +285,61 @@ def prove(components, log_sizes, main_traces, channel,
     channel.mix_u32s(np.asarray(log_sizes, np.uint32))
 
     # -- tree 0: preprocessed ------------------------------------------
-    pre_cols, pre_logs = _pre_columns(components, log_sizes, infos, plan)
-    rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup)
-    rc_pre.mix_roots(channel)
+    with scope("commit:pre"):
+        pre_cols, pre_logs = _pre_columns(components, log_sizes, infos,
+                                          plan)
+        rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup)
+        rc_pre.mix_roots(channel)
 
     # -- tree 1: main ---------------------------------------------------
-    main_cols, main_logs = [], []
-    for c in range(len(components)):
-        assert len(main_traces[c]) == infos[c].n_main
-        for col in main_traces[c]:
-            assert col.shape == (1 << log_sizes[c],)
-            main_cols.append(np.asarray(col, np.uint32))
-            main_logs.append(log_sizes[c])
-    rc_main = pcs.commit_columns("main", main_cols, main_logs, blowup)
-    rc_main.mix_roots(channel)
+    with scope("commit:main"):
+        main_cols, main_logs = [], []
+        for c in range(len(components)):
+            assert len(main_traces[c]) == infos[c].n_main
+            for col in main_traces[c]:
+                assert col.shape == (1 << log_sizes[c],)
+                main_cols.append(np.asarray(col, np.uint32))
+                main_logs.append(log_sizes[c])
+        rc_main = pcs.commit_columns("main", main_cols, main_logs,
+                                     blowup)
+        rc_main.mix_roots(channel)
 
     # -- relations + tree 2: interaction ---------------------------------
-    relations = draw_relations(channel, _relation_widths(infos))
-    inter_qm31 = []      # per component: list of (M, 4) arrays
-    claimed_sums = []
-    for c, comp in enumerate(components):
-        # natural-order rows straight from the committed device copies:
-        # the main trace is never transferred twice
-        main_idx = [plan.metas[i].ridx for i in plan.by_role["main"]
-                    if plan.metas[i].comp == c]
-        main_nat = (rc_main.natural_rows(main_idx)[0] if main_idx
-                    else None)
-        pre_idx = [plan.metas[i].ridx for i in plan.by_role["pre"]
-                   if plan.metas[i].comp == c]
-        pre_nat = (rc_pre.natural_rows(pre_idx)[0] if pre_idx else None)
-        cols, claimed = generate_interaction(
-            comp, main_nat, pre_nat, relations, log_sizes[c])
-        inter_qm31.append(cols)
-        claimed_sums.append(np.asarray(claimed, np.uint64))
-    channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
-                      if claimed_sums else np.zeros((0, 4), np.uint32))
-    inter_cols, inter_logs = [], []
-    for c in range(len(components)):
-        for col in inter_qm31[c]:
-            for t in range(4):
-                inter_cols.append(col[:, t])        # device, no bounce
-                inter_logs.append(log_sizes[c])
-    rc_inter = (pcs.commit_columns("inter", inter_cols, inter_logs, blowup)
-                if inter_cols else None)
-    if rc_inter is not None:
-        rc_inter.mix_roots(channel)
+    with scope("interaction"):
+        relations = draw_relations(channel, _relation_widths(infos))
+        inter_qm31 = []      # per component: list of (M, 4) arrays
+        claimed_sums = []
+        for c, comp in enumerate(components):
+            # natural-order rows straight from the committed device
+            # copies: the main trace is never transferred twice
+            main_idx = [plan.metas[i].ridx for i in plan.by_role["main"]
+                        if plan.metas[i].comp == c]
+            main_nat = (rc_main.natural_rows(main_idx)[0] if main_idx
+                        else None)
+            pre_idx = [plan.metas[i].ridx for i in plan.by_role["pre"]
+                       if plan.metas[i].comp == c]
+            pre_nat = (rc_pre.natural_rows(pre_idx)[0] if pre_idx
+                       else None)
+            cols, claimed = generate_interaction(
+                comp, main_nat, pre_nat, relations, log_sizes[c])
+            inter_qm31.append(cols)
+            claimed_sums.append(claimed)
+        # sync AFTER dispatching every component: executions pipeline
+        claimed_sums = [np.asarray(cs, np.uint64) for cs in claimed_sums]
+        channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
+                          if claimed_sums else np.zeros((0, 4),
+                                                        np.uint32))
+    with scope("commit:inter"):
+        inter_cols, inter_logs = [], []
+        for c in range(len(components)):
+            for col in inter_qm31[c]:
+                for t in range(4):
+                    inter_cols.append(col[:, t])    # device, no bounce
+                    inter_logs.append(log_sizes[c])
+        rc_inter = (pcs.commit_columns("inter", inter_cols, inter_logs,
+                                       blowup) if inter_cols else None)
+        if rc_inter is not None:
+            rc_inter.mix_roots(channel)
 
     # -- composition ------------------------------------------------------
     import os as _os
@@ -337,6 +348,8 @@ def prove(components, log_sizes, main_traces, channel,
     alpha = np.asarray(channel.draw_felt(), np.uint64)
     shifts = _alpha_shifts(infos)
     buckets = {}
+    _comp_scope = scope("composition")
+    _comp_scope.__enter__()
     for c, comp in enumerate(components):
         n = log_sizes[c]
         ev_log = n + 2
@@ -359,9 +372,10 @@ def prove(components, log_sizes, main_traces, channel,
                 (0, 2, 1))                              # (B, M, 4)
         else:
             inter_evals = []
-        acc, k = run_constraints_domain(
-            comp, main_evals, pre_evals, inter_evals, isf_evals,
-            relations, claimed_sums[c], alpha)
+        with scope(f"c:eval:{comp.name}"):
+            acc, k = run_constraints_domain(
+                comp, main_evals, pre_evals, inter_evals, isf_evals,
+                relations, claimed_sums[c], alpha)
         assert k == infos[c].n_constraints
         if _selftest:
             comp_accs_dbg[c] = (None if acc is None
@@ -386,8 +400,11 @@ def prove(components, log_sizes, main_traces, channel,
     rc_comp = pcs.commit_from_coeffs(
         "comp", [comp_coeffs[t] for t in range(4)], [comp_log] * 4, blowup)
     rc_comp.mix_roots(channel)
+    _comp_scope.__exit__(None, None, None)
 
     # -- OODS sampling: batched device dot per (role, size, offset) -------
+    _oods_scope = scope("oods")
+    _oods_scope.__enter__()
     t_felt = channel.draw_felt()
     z = oods_point_from_felt(t_felt)
     rcs = {"pre": rc_pre, "main": rc_main, "inter": rc_inter,
@@ -412,6 +429,7 @@ def prove(components, log_sizes, main_traces, channel,
             sampled[i][oi] = v
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
                       .astype(np.uint32))
+    _oods_scope.__exit__(None, None, None)
 
     if _selftest:
         _oods_selftest(components, infos, plan, log_sizes, relations,
@@ -419,43 +437,53 @@ def prove(components, log_sizes, main_traces, channel,
                        comp_accs_dbg)
 
     # -- quotients + FRI ----------------------------------------------------
-    gamma = np.asarray(channel.draw_felt(), np.uint64)
-    samples_by_size = _build_samples(plan, z, sampled)
-    fri_inputs, offset = {}, 0
-    for s in sorted(plan.groups, reverse=True):
-        # gather the group's eval rows role by role, then concat — the
-        # group index order must match samples_by_size's column order
-        parts, part_roles = [], []
-        for i in plan.groups[s]:
-            m = plan.metas[i]
-            if not part_roles or part_roles[-1][0] != m.role:
-                part_roles.append((m.role, []))
-            part_roles[-1][1].append(m.ridx)
-        for role, ridxs in part_roles:
-            rc = rcs[role]
-            rows = jnp.asarray(np.asarray(
-                [rc.cols_by_size[s].index(r) for r in ridxs], np.int64))
-            parts.append(rc.evals[s][rows])
-        cols = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        fri_inputs[s] = quotients.accumulate_quotients(
-            s, cols, samples_by_size[s], gamma, offset)
-        offset += quotients.n_terms(samples_by_size[s])
-    fri_state = fri.fri_commit(fri_inputs, channel, config.fri)
+    with scope("quotients"):
+        gamma = np.asarray(channel.draw_felt(), np.uint64)
+        with scope("q:samples"):
+            samples_by_size = _build_samples(plan, z, sampled)
+        fri_inputs, offset = {}, 0
+        for s in sorted(plan.groups, reverse=True):
+            # gather the group's eval rows role by role, then concat —
+            # the group index order must match samples_by_size's
+            # column order
+            parts, part_roles = [], []
+            for i in plan.groups[s]:
+                m = plan.metas[i]
+                if not part_roles or part_roles[-1][0] != m.role:
+                    part_roles.append((m.role, []))
+                part_roles[-1][1].append(m.ridx)
+            with scope(f"q:gather:{s}"):
+                for role, ridxs in part_roles:
+                    rc = rcs[role]
+                    rows = jnp.asarray(np.asarray(
+                        [rc.cols_by_size[s].index(r) for r in ridxs],
+                        np.int64))
+                    parts.append(rc.evals[s][rows])
+                cols = (parts[0] if len(parts) == 1
+                        else jnp.concatenate(parts))
+            with scope(f"q:acc:{s}"):
+                fri_inputs[s] = quotients.accumulate_quotients(
+                    s, cols, samples_by_size[s], gamma, offset)
+            offset += quotients.n_terms(samples_by_size[s])
+    with scope("fri"):
+        fri_state = fri.fri_commit(fri_inputs, channel, config.fri)
 
     # -- PoW + queries + openings ------------------------------------------
-    pow_nonce = channel.grind_pow(config.pow_bits)
+    with scope("pow"):
+        pow_nonce = channel.grind_pow(config.pow_bits)
     queries = channel.draw_queries(config.fri.n_queries, s0)
-    openings, roots = {}, {}
-    for role, rc in rcs.items():
-        if rc is None:
-            roots[role] = []
-            openings[role] = []
-            continue
-        pos = {s: pcs.open_positions(queries, s0, s)
-               for s in rc.sizes_desc()}
-        openings[role] = rc.open(pos)
-        roots[role] = rc.roots()
-    fri_proof = fri.fri_decommit(fri_state, queries)
+    with scope("openings"):
+        openings, roots = {}, {}
+        for role, rc in rcs.items():
+            if rc is None:
+                roots[role] = []
+                openings[role] = []
+                continue
+            pos = {s: pcs.open_positions(queries, s0, s)
+                   for s in rc.sizes_desc()}
+            openings[role] = rc.open(pos)
+            roots[role] = rc.roots()
+        fri_proof = fri.fri_decommit(fri_state, queries)
 
     return Proof(log_sizes=list(log_sizes), roots=roots,
                  claimed_sums=claimed_sums, sampled=sampled,
@@ -667,13 +695,16 @@ def _verify(components, proof, channel, config):
     channel.mix_u32s(np.asarray(log_sizes, np.uint32))
 
     # Recompute the preprocessed commitment (prover simulation), compare.
-    pre_cols, pre_logs = _pre_columns(components, log_sizes, infos, plan)
-    rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup,
-                                keep_natural=False)
-    if [(s, r.tolist()) for s, r in rc_pre.roots()] != \
-            [(s, np.asarray(r).tolist()) for s, r in proof.roots["pre"]]:
-        return _vfail('preprocessed root mismatch')
-    rc_pre.mix_roots(channel)
+    with scope("v:pre-commit"):
+        pre_cols, pre_logs = _pre_columns(components, log_sizes, infos,
+                                          plan)
+        rc_pre = pcs.commit_columns("pre", pre_cols, pre_logs, blowup,
+                                    keep_natural=False)
+        if [(s, r.tolist()) for s, r in rc_pre.roots()] != \
+                [(s, np.asarray(r).tolist())
+                 for s, r in proof.roots["pre"]]:
+            return _vfail('preprocessed root mismatch')
+        rc_pre.mix_roots(channel)
 
     for s, root in proof.roots["main"]:
         channel.mix_u32s(np.asarray(root, np.uint32))
@@ -708,6 +739,8 @@ def _verify(components, proof, channel, config):
                       .astype(np.uint32))
 
     # -- OODS composition identity ---------------------------------------
+    _v_oods = scope("v:oods-identity")
+    _v_oods.__enter__()
     shifts = _alpha_shifts(infos)
     total = np.zeros(4, np.uint64)
     for c, comp in enumerate(components):
@@ -742,6 +775,7 @@ def _verify(components, proof, channel, config):
         total = np_qm31_add(total, term)
     comp_idxs = [plan.index[("comp", -1, (t,))] for t in range(4)]
     comp_at_z = _qm31_reconstruct([sampled[i][0] for i in comp_idxs])
+    _v_oods.__exit__(None, None, None)
     if not np.array_equal(total, comp_at_z):
         return _vfail('OODS composition identity')
 
@@ -754,53 +788,59 @@ def _verify(components, proof, channel, config):
     queries = channel.draw_queries(config.fri.n_queries, s0)
 
     # Verify tree openings and collect opened values per plan column.
-    roots = {role: dict((s, np.asarray(r)) for s, r in proof.roots[role])
-             for role in ROLE_ORDER}
-    roots["pre"] = dict((s, np.asarray(r)) for s, r in rc_pre.roots())
-    opened = {}      # (role, s) -> (positions, decommitment)
-    for role in ROLE_ORDER:
-        decs = dict((s, d) for s, d in proof.openings[role])
-        sizes_present = sorted(
-            {plan.metas[i].trace_log + blowup
-             for i in plan.by_role[role]}, reverse=True)
-        for s in sizes_present:
-            ncols = len(plan.role_size_cols(role, s))
-            if ncols == 0:
-                continue
-            positions = pcs.open_positions(queries, s0, s)
-            d = decs[s]
-            if not merkle.verify_decommitment(
-                    roots[role][s], [1 << s] * ncols, positions, d):
-                return _vfail(f'merkle opening {role}/{s}')
-            opened[(role, s)] = (positions, d)
+    with scope("v:merkle"):
+        roots = {role: dict((s, np.asarray(r))
+                            for s, r in proof.roots[role])
+                 for role in ROLE_ORDER}
+        roots["pre"] = dict((s, np.asarray(r)) for s, r in rc_pre.roots())
+        opened = {}      # (role, s) -> (positions, decommitment)
+        for role in ROLE_ORDER:
+            decs = dict((s, d) for s, d in proof.openings[role])
+            sizes_present = sorted(
+                {plan.metas[i].trace_log + blowup
+                 for i in plan.by_role[role]}, reverse=True)
+            for s in sizes_present:
+                ncols = len(plan.role_size_cols(role, s))
+                if ncols == 0:
+                    continue
+                positions = pcs.open_positions(queries, s0, s)
+                d = decs[s]
+                if not merkle.verify_decommitment(
+                        roots[role][s], [1 << s] * ncols, positions, d):
+                    return _vfail(f'merkle opening {role}/{s}')
+                opened[(role, s)] = (positions, d)
 
     # Recompute combined quotients at opened positions -> FRI inputs.
-    samples_by_size = _build_samples(plan, z, sampled)
-    offsets_by_size, off = {}, 0
-    for s in sorted(plan.groups, reverse=True):
-        offsets_by_size[s] = off
-        off += quotients.n_terms(samples_by_size[s])
-    inputs_at = {}
-    for s, idxs in plan.groups.items():
-        positions = pcs.open_positions(queries, s0, s)
-        # per position: {group col idx -> value}
-        role_row = {}
-        role_counter = {}
-        for gi, i in enumerate(idxs):
-            role = plan.metas[i].role
-            k = role_counter.get(role, 0)
-            role_counter[role] = k + 1
-            role_row[gi] = (role, k)
-        at = {}
-        for pi, p in enumerate(positions):
-            colvals = {}
+    with scope("v:quotients"):
+        samples_by_size = _build_samples(plan, z, sampled)
+        offsets_by_size, off = {}, 0
+        for s in sorted(plan.groups, reverse=True):
+            offsets_by_size[s] = off
+            off += quotients.n_terms(samples_by_size[s])
+        inputs_at = {}
+        for s, idxs in plan.groups.items():
+            positions = pcs.open_positions(queries, s0, s)
+            # per position: {group col idx -> value}
+            role_row = {}
+            role_counter = {}
             for gi, i in enumerate(idxs):
-                role, k = role_row[gi]
-                _pos, d = opened[(role, s)]
-                colvals[gi] = int(d.column_values[k][pi])
-            at[p] = quotients.quotients_at(s, samples_by_size[s], colvals,
-                                           p, gamma, offsets_by_size[s])
-        inputs_at[s] = at
+                role = plan.metas[i].role
+                k = role_counter.get(role, 0)
+                role_counter[role] = k + 1
+                role_row[gi] = (role, k)
+            qat = quotients.QuotientsAt(s, samples_by_size[s], gamma,
+                                        offsets_by_size[s])
+            at = {}
+            for pi, p in enumerate(positions):
+                colvals = {}
+                for gi, i in enumerate(idxs):
+                    role, k = role_row[gi]
+                    _pos, d = opened[(role, s)]
+                    colvals[gi] = int(d.column_values[k][pi])
+                at[p] = qat.at(p, colvals)
+            inputs_at[s] = at
 
-    return fri.fri_check_queries(proof.fri_proof, alphas, queries,
-                                 inputs_at, list(plan.groups), config.fri)
+    with scope("v:fri"):
+        return fri.fri_check_queries(proof.fri_proof, alphas, queries,
+                                     inputs_at, list(plan.groups),
+                                     config.fri)
