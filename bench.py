@@ -54,6 +54,8 @@ def main():
                     help="print a per-phase host profile to stderr")
     ap.add_argument("--skip-verify", action="store_true",
                     help="skip the verification timing")
+    ap.add_argument("--machine2", action="store_true",
+                    help="use the per-instruction-family machine2 prover")
     args = ap.parse_args()
 
     if args.cpu:
@@ -72,7 +74,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    from nexus_zkvm_tpu.machine import prove_machine, verify_machine
+    if args.machine2:
+        from nexus_zkvm_tpu.machine2 import (
+            prove_machine2 as prove_machine,
+            verify_machine2 as verify_machine)
+    else:
+        from nexus_zkvm_tpu.machine import prove_machine, verify_machine
 
     t0 = time.perf_counter()
     view, trace = build_workload(args.log_size)
@@ -114,6 +121,7 @@ def main():
             "t_prove_s": round(t_prove, 3),
             "t_verify_s": round(t_verify, 3),
             "proof_bytes": proof.size_estimate(),
+            "machine": "machine2" if args.machine2 else "machine",
             "backend": jax.default_backend(),
             "phases": prof.phase_seconds(),
         },

@@ -154,10 +154,11 @@ def fri_commit(inputs: dict, channel, config: FriConfig) -> FriProverState:
         if cur_log == config.last_line_log:
             break
         tree = merkle.commit([cur[:, 0], cur[:, 1], cur[:, 2], cur[:, 3]])
-        channel.mix_u32s(tree.root())
+        root = tree.root()           # fetched once here for the channel
+        channel.mix_u32s(root)
         # keep the layer evals on device: decommitment gathers rows
         # from the tree; nothing needs the full layer on the host
-        inner.append((cur, tree))
+        inner.append((cur, tree, root))
         alpha = channel.draw_felt()
         cur = fold_line(cur, alpha, cur_log)
         cur_log -= 1
@@ -186,11 +187,14 @@ def _layer_positions(queries, shift: int):
 
 
 def fri_decommit(state: FriProverState, queries) -> FriProof:
-    roots, decs = [], []
-    for j, (_evals, tree) in enumerate(state.inner):
+    """All layer openings are dispatched async and materialized with a
+    single host<->device transfer (`merkle.finalize_decommitments`)."""
+    roots, pendings = [], []
+    for j, (_evals, tree, root) in enumerate(state.inner):
         pos = _layer_positions(queries, j + 1)
-        roots.append(tree.root())
-        decs.append(merkle.decommit(tree, pos))
+        roots.append(root)
+        pendings.append(merkle.decommit_async(tree, pos))
+    decs = merkle.finalize_decommitments(pendings)
     return FriProof(inner_roots=roots, inner_decommitments=decs,
                     last_layer=state.last_layer)
 

@@ -199,24 +199,52 @@ def _positions_at(queries, max_depth, d):
     return sorted({q >> (max_depth - d) for q in queries})
 
 
-def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
-    """Open the tree at the given bottom-layer query positions.
+class PendingDecommitment:
+    """Dispatched-but-unmaterialized opening: all row gathers live on
+    device until finalize().  Batch many trees' openings with
+    `finalize_decommitments` — ONE host<->device round trip for the
+    whole set instead of one per tree per layer (the dominant cost on
+    a tunneled device link)."""
 
-    All row gathers are dispatched first (async device work) and
-    materialized at the end — one host sync for the whole opening
-    instead of one per layer."""
+    def __init__(self, vals_dev, col_vals_list, sib_rows):
+        self._vals_dev = vals_dev          # (C, Q) device or None
+        self._col_vals = col_vals_list     # list of device arrays
+        self._sib_rows = sib_rows          # list of (K_d, 8) device
+
+    def device_arrays(self):
+        arrs = [] if self._vals_dev is None else [self._vals_dev]
+        return arrs + self._col_vals + self._sib_rows
+
+    def finalize(self, fetched=None) -> "MerkleDecommitment":
+        if fetched is None:
+            import jax
+            fetched = jax.device_get(self.device_arrays())
+        fetched = list(fetched)
+        out = MerkleDecommitment()
+        if self._vals_dev is not None:
+            vals = np.asarray(fetched.pop(0))
+            out.column_values.extend(vals[c] for c in range(vals.shape[0]))
+        for _ in self._col_vals:
+            out.column_values.append(np.asarray(fetched.pop(0)))
+        for _ in self._sib_rows:
+            for r in np.asarray(fetched.pop(0)):
+                out.sibling_hashes.append(r)
+        return out
+
+
+def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
+    """Dispatch all gathers of an opening; no host sync."""
     queries = sorted(set(int(q) for q in queries))
-    out = MerkleDecommitment()
+    vals_dev, col_vals = None, []
     if tree.matrix is not None:
         idx = jnp.asarray(np.asarray(queries, np.int64))
         vals_dev = tree.matrix[:, idx]             # one gather
     else:
-        vals_dev = None
         for ci, col in enumerate(tree.columns):
             d = _log2(col.shape[0])
             pos = _positions_at(queries, tree.max_depth, d)
             idx = jnp.asarray(np.asarray(pos, np.int64))
-            out.column_values.append(jnp.asarray(col)[idx])
+            col_vals.append(jnp.asarray(col)[idx])
 
     sib_rows = []                                  # device gathers
     pos = queries
@@ -227,17 +255,25 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
             idx = jnp.asarray(np.asarray(sibs, np.int64))
             sib_rows.append(jnp.asarray(tree.layers[d])[idx])
         pos = sorted({p >> 1 for p in pos})
+    return PendingDecommitment(vals_dev, col_vals, sib_rows)
 
-    # single materialization point
-    if vals_dev is not None:
-        vals = np.asarray(vals_dev)
-        out.column_values.extend(vals[c] for c in range(vals.shape[0]))
-    else:
-        out.column_values = [np.asarray(v) for v in out.column_values]
-    for rows in sib_rows:
-        for r in np.asarray(rows):
-            out.sibling_hashes.append(r)
+
+def finalize_decommitments(pendings) -> list:
+    """Materialize many PendingDecommitments with one device_get."""
+    import jax
+    flat = [a for p in pendings for a in p.device_arrays()]
+    fetched = jax.device_get(flat)
+    out, k = [], 0
+    for p in pendings:
+        n = len(p.device_arrays())
+        out.append(p.finalize(fetched[k:k + n]))
+        k += n
     return out
+
+
+def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
+    """Open the tree at the given bottom-layer query positions."""
+    return decommit_async(tree, queries).finalize()
 
 
 def verify_decommitment(root, column_lengths, queries,

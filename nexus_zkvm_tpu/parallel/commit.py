@@ -114,7 +114,7 @@ def sharded_commit_columns(mesh, columns, trace_log: int,
     # the root is computed identically on every device from the
     # gathered frontier; vma inference can't see that, hence check off
     fn = jax.jit(shard_map(step, mesh=mesh, in_specs=spec,
-                           out_specs=(spec, PS()), check_rep=False))
+                           out_specs=(spec, PS()), check_vma=False))
     arr = jax.device_put(jnp.asarray(columns, jnp.uint32),
                          NamedSharding(mesh, spec))
     ev, root = fn(arr)

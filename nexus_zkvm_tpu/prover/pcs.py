@@ -50,8 +50,10 @@ class RoleCommitment:
         return sorted(self.trees, reverse=True)
 
     def roots(self):
-        return [(s, np.asarray(self.trees[s].root()))
-                for s in self.sizes_desc()]
+        if getattr(self, "_roots_cache", None) is None:
+            self._roots_cache = [(s, np.asarray(self.trees[s].root()))
+                                 for s in self.sizes_desc()]
+        return self._roots_cache
 
     def mix_roots(self, channel):
         for s, root in self.roots():
@@ -95,6 +97,13 @@ class RoleCommitment:
     def open(self, positions_by_size: dict):
         """[(eval_log, MerkleDecommitment)] descending by size."""
         return [(s, merkle.decommit(self.trees[s], positions_by_size[s]))
+                for s in self.sizes_desc()]
+
+    def open_async(self, positions_by_size: dict):
+        """[(eval_log, PendingDecommitment)] — no host sync; finalize
+        many roles' openings together (`merkle.finalize_decommitments`)."""
+        return [(s, merkle.decommit_async(self.trees[s],
+                                          positions_by_size[s]))
                 for s in self.sizes_desc()]
 
 

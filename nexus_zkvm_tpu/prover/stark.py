@@ -473,7 +473,9 @@ def prove(components, log_sizes, main_traces, channel,
         pow_nonce = channel.grind_pow(config.pow_bits)
     queries = channel.draw_queries(config.fri.n_queries, s0)
     with scope("openings"):
-        openings, roots = {}, {}
+        # dispatch every role's gathers async, then materialize the
+        # whole opening set with ONE host<->device transfer
+        openings, roots, pend = {}, {}, []
         for role, rc in rcs.items():
             if rc is None:
                 roots[role] = []
@@ -481,8 +483,15 @@ def prove(components, log_sizes, main_traces, channel,
                 continue
             pos = {s: pcs.open_positions(queries, s0, s)
                    for s in rc.sizes_desc()}
-            openings[role] = rc.open(pos)
+            pend.append((role, rc.open_async(pos)))
             roots[role] = rc.roots()
+        flat = [p for _, items in pend for _s, p in items]
+        final = merkle.finalize_decommitments(flat)
+        k = 0
+        for role, items in pend:
+            openings[role] = [(s, final[k + j])
+                              for j, (s, _p) in enumerate(items)]
+            k += len(items)
         fri_proof = fri.fri_decommit(fri_state, queries)
 
     return Proof(log_sizes=list(log_sizes), roots=roots,
