@@ -56,6 +56,10 @@ def main():
                     help="skip the verification timing")
     ap.add_argument("--machine2", action="store_true",
                     help="use the per-instruction-family machine2 prover")
+    ap.add_argument("--segment-log", type=int, default=None,
+                    help="split execution into 2^N-step segments (v1)")
+    ap.add_argument("--stream", action="store_true",
+                    help="ship each segment to device as it fills")
     args = ap.parse_args()
 
     if args.cpu:
@@ -75,11 +79,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     if args.machine2:
+        assert args.segment_log is None, "segments are a v1 feature"
         from nexus_zkvm_tpu.machine2 import (
             prove_machine2 as prove_machine,
             verify_machine2 as verify_machine)
     else:
-        from nexus_zkvm_tpu.machine import prove_machine, verify_machine
+        from nexus_zkvm_tpu.machine import (
+            prove_machine as _prove, verify_machine)
+
+        def prove_machine(view, trace):
+            return _prove(view, trace, segment_log=args.segment_log,
+                          stream=args.stream)
 
     t0 = time.perf_counter()
     view, trace = build_workload(args.log_size)

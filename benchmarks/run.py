@@ -60,10 +60,16 @@ def keccak_guest(n_perms: int) -> str:
     """ + EXIT
 
 
-def run_workload(name: str, source: str, prove: bool = True):
+def run_workload(name: str, source: str, prove: bool = True,
+                 machine2: bool = False):
     from nexus_zkvm_tpu.vm import asm, k_trace
     from nexus_zkvm_tpu.vm.native_trace import native_available
-    from nexus_zkvm_tpu.machine import prove_machine, verify_machine
+    if machine2:
+        from nexus_zkvm_tpu.machine2 import (
+            prove_machine2 as prove_machine,
+            verify_machine2 as verify_machine)
+    else:
+        from nexus_zkvm_tpu.machine import prove_machine, verify_machine
 
     words = asm.assemble(source)
     backend = "auto"
@@ -99,6 +105,8 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", default="bench_results.csv")
     ap.add_argument("--no-prove", action="store_true")
+    ap.add_argument("--machine2", action="store_true",
+                    help="benchmark the per-instruction-family prover")
     ap.add_argument("--workloads", nargs="*",
                     default=["fib:10", "fib:12", "fib:14", "keccak:2"])
     args = ap.parse_args()
@@ -118,7 +126,8 @@ def main():
         else:
             raise SystemExit(f"unknown workload {spec}")
         print(f"== {name}", flush=True)
-        row = run_workload(name, src, prove=not args.no_prove)
+        row = run_workload(name, src, prove=not args.no_prove,
+                           machine2=args.machine2)
         print(row, flush=True)
         rows.append(row)
 

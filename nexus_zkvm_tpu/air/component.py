@@ -600,8 +600,14 @@ def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
     key = ("dom", component.jit_key(), _relations_key(relations),
            _ncols(main_evals), _ncols(pre_evals), _ncols(inter_evals),
            int(isf_evals.shape[0]))
-    fn = _DOMAIN_JIT.get(key)
-    if fn is None:
+    entry = _DOMAIN_JIT.get(key)
+    if entry is None:
+        # the constraint count is shape-static: capture it at trace
+        # time instead of returning it through the jitted program (an
+        # int() on a jit output would block on the WHOLE graph,
+        # serializing the per-component composition dispatches)
+        kholder = {}
+
         def raw(main, pre, inter, isf, rel_flat, claimed_, alpha_,
                 params):
             ctx = DomainEvalContext(
@@ -611,19 +617,21 @@ def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
             component.evaluate(ctx)
             _finalize_logup(ctx)
             ctx.finalize_acc()
+            kholder["k"] = ctx.n_constraints
             if ctx.acc is None:
-                return None, ctx.n_constraints
-            return ctx.acc.as_qm31().v, ctx.n_constraints
-        fn = jax.jit(raw, static_argnames=())
-        _DOMAIN_JIT[key] = fn
+                return None
+            return ctx.acc.as_qm31().v
+        entry = (jax.jit(raw, static_argnames=()), kholder)
+        _DOMAIN_JIT[key] = entry
+    fn, kholder = entry
     if getattr(inter_evals, "ndim", None) == 3:
         inter_m = jnp.asarray(inter_evals)
     else:
         inter_m = (jnp.stack([jnp.asarray(c) for c in inter_evals])
                    if len(inter_evals) else None)
-    acc, k = fn(_as_matrix(main_evals), _as_matrix(pre_evals), inter_m,
-                isf_evals, _relations_flat(relations),
-                jnp.asarray(np.asarray(claimed, np.uint32)),
-                jnp.asarray(np.asarray(alpha, np.uint32)),
-                _params_flat(component))
-    return acc, int(k)
+    acc = fn(_as_matrix(main_evals), _as_matrix(pre_evals), inter_m,
+             isf_evals, _relations_flat(relations),
+             jnp.asarray(np.asarray(claimed, np.uint32)),
+             jnp.asarray(np.asarray(alpha, np.uint32)),
+             _params_flat(component))
+    return acc, int(kholder["k"])

@@ -214,13 +214,20 @@ def _memside_emits(ram_fill, out_fill):
     return {"r256": np.concatenate(e256), "r64": np.concatenate(e64)}
 
 
-def build_machine_traces(view, trace, segment_log: int | None = None):
+def build_machine_traces(view, trace, segment_log: int | None = None,
+                         stream: bool = False):
     """(View, Trace) -> (components, log_sizes, main column lists).
 
     The complete vectorized fill for every component — shared by the
     prover and the constraint-assertion tests.  `segment_log` splits
     the execution into 2^segment_log-step segments, each its own CPU
     component (chains connect through the shared relations).
+
+    `stream=True` ships each segment's columns to the device as soon
+    as its fill completes (async dispatch), so the host fill of
+    segment i+1 overlaps the device transfer of segment i — the
+    TPU-native rendering of the reference's host->device segment
+    streaming seam (`/root/reference/vm/src/trace.rs:108-120`).
     """
     n_steps = int(len(trace.steps["clk"]))
     if segment_log is not None:
@@ -233,12 +240,20 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
     lay = view.memory_layout
 
     cpu_fills, cpu_logs, cpu_emit_list = [], [], []
+    cpu_dev = []                 # stream=True: per-segment device matrix
     for seg in segs:
         log = _clog2(len(seg.steps["clk"]), lo=4)
         f, e = fill_cpu(seg, view, log, st_lo, st_hi)
         cpu_fills.append(f)
         cpu_logs.append(log)
         cpu_emit_list.append(e)
+        if stream:
+            # downcast-batched async transfer; the next segment's fill
+            # proceeds while this one crosses the link
+            from ..prover.pcs import _ship
+            cols = CPU_SCHEMA.to_columns(f)
+            dev = _ship(np.stack(cols))
+            cpu_dev.append([dev[i] for i in range(dev.shape[0])])
 
     addrs, inits, finals, fts, oc_prev = _ram_data(trace, view)
     # +1 guarantees a padding row so the sorted-address next-row
@@ -306,7 +321,8 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
     for comp in comps:
         if comp.name.startswith("cpu"):
             log_sizes.append(cpu_logs[seg_i])
-            traces.append(CPU_SCHEMA.to_columns(cpu_fills[seg_i]))
+            traces.append(cpu_dev[seg_i] if stream
+                          else CPU_SCHEMA.to_columns(cpu_fills[seg_i]))
             seg_i += 1
         elif comp.name == "program":
             log_sizes.append(fixed_sizes["program"])
@@ -340,11 +356,12 @@ def build_machine_traces(view, trace, segment_log: int | None = None):
 
 
 def prove_machine(view, trace, config: PcsConfig = PcsConfig(),
-                  segment_log: int | None = None) -> MachineProof:
+                  segment_log: int | None = None,
+                  stream: bool = False) -> MachineProof:
     from ..utils.profile import scope
     with scope("fills"):
-        comps, log_sizes, traces = build_machine_traces(view, trace,
-                                                        segment_log)
+        comps, log_sizes, traces = build_machine_traces(
+            view, trace, segment_log, stream=stream)
     channel = Blake2sChannel()
     _mix_view(channel, view)
     proof = prove(comps, log_sizes, traces, channel, config)

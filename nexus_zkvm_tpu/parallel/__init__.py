@@ -19,6 +19,8 @@ TPU-native equivalents here are:
 from .mesh import make_mesh, local_mesh
 from .commit import sharded_commit_columns
 from .context import set_mesh, active_mesh, use_mesh, shard_rows
+from .distributed import init_distributed, is_distributed, process_info
 
 __all__ = ["make_mesh", "local_mesh", "sharded_commit_columns",
-           "set_mesh", "active_mesh", "use_mesh", "shard_rows"]
+           "set_mesh", "active_mesh", "use_mesh", "shard_rows",
+           "init_distributed", "is_distributed", "process_info"]

@@ -298,7 +298,10 @@ def prove(components, log_sizes, main_traces, channel,
             assert len(main_traces[c]) == infos[c].n_main
             for col in main_traces[c]:
                 assert col.shape == (1 << log_sizes[c],)
-                main_cols.append(np.asarray(col, np.uint32))
+                # device-resident columns (streamed segments) must not
+                # bounce back through the host
+                main_cols.append(col if isinstance(col, jnp.ndarray)
+                                 else np.asarray(col, np.uint32))
                 main_logs.append(log_sizes[c])
         rc_main = pcs.commit_columns("main", main_cols, main_logs,
                                      blowup)
@@ -417,6 +420,7 @@ def prove(components, log_sizes, main_traces, channel,
     sampled = [np.zeros((len(m.offsets), 4), np.uint64)
                for m in plan.metas]
     basis_cache = {}
+    pending = []          # dispatch every group's dot, fetch once
     for (role, tlog, off), members in groups.items():
         key = (tlog, off)
         if key not in basis_cache:
@@ -424,8 +428,10 @@ def prove(components, log_sizes, main_traces, channel,
                 tlog, _point_for(z, tlog, off)).astype(np.uint32))
         cols, _n = rcs[role].coeff_rows(
             [plan.metas[i].ridx for i, _ in members])
-        vals = np.asarray(_oods_dot(cols, basis_cache[key]), np.uint64)
-        for (i, oi), v in zip(members, vals):
+        pending.append((members, _oods_dot(cols, basis_cache[key])))
+    fetched = _jax.device_get([d for _, d in pending])
+    for (members, _), vals in zip(pending, fetched):
+        for (i, oi), v in zip(members, np.asarray(vals, np.uint64)):
             sampled[i][oi] = v
     channel.mix_felts(np.concatenate([s.reshape(-1, 4) for s in sampled])
                       .astype(np.uint32))

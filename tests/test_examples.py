@@ -142,3 +142,38 @@ def test_palindrome():
                           public_input=encode_u32s(0x1221))
     assert view.exit_code == 0
     check_machine(view, trace)
+
+
+# ---------------------------------------------------------------------------
+# emulator-configuration matrix (reference common-testing EmulatorType
+# {Harvard, Linear, TwoPass}, `common-testing/src/emulator.rs:19-80`)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,inp", [
+    ("fib.s", (13,)), ("fact.s", (6,)),
+    ("sort.s", (9, 1, 8, 2, 7, 3, 6, 4, 5)),
+    ("palindrome.s", (0x1221,)),
+])
+def test_emulator_config_matrix(name, inp):
+    """Harvard (pass 1), python two-pass, and native two-pass must
+    agree on exit code and public output for every guest."""
+    from nexus_zkvm_tpu.vm.emulator import HarvardEmulator, VMExited
+    from nexus_zkvm_tpu.vm.isa import ELF_TEXT_START
+    from nexus_zkvm_tpu.vm.native import native_available
+
+    g = Guest.from_asm(open(os.path.join(GUESTS, name)).read())
+    pub = encode_u32s(*inp)
+
+    harv = HarvardEmulator(g.program_words, base=ELF_TEXT_START,
+                           entry=g.entry, public_input=pub)
+    try:
+        harv.execute(1_000_000)
+    except VMExited:
+        pass
+    view_py, _ = run(name, pub, backend="python")
+    assert harv.exit_code == view_py.exit_code
+
+    if native_available():
+        view_nat, trace_nat = run(name, pub, backend="native")
+        assert view_nat.exit_code == view_py.exit_code
+        assert view_nat.public_output == view_py.public_output

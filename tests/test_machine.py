@@ -370,3 +370,36 @@ def test_prove_verify_keccak():
     """))
     proof = prove_machine(view, trace, CFG)
     assert verify_machine(view, proof, CFG)
+
+
+@pytest.mark.slow
+def test_prove_verify_segmented_streamed():
+    """Streamed segment shipping changes placement, not the proof:
+    bit-identical transcript to the host-batched path, verifier
+    unchanged."""
+    view, trace = k_trace(asm.assemble("""
+        addi t0, zero, 60
+    loop:
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        lw   t1, 0x84(zero)
+        sw   t0, 0(t1)
+    """ + EXIT))
+    p_batch = prove_machine(view, trace, CFG, segment_log=5)
+    p_stream = prove_machine(view, trace, CFG, segment_log=5,
+                             stream=True)
+
+    def eq(a, b):
+        if isinstance(a, dict):
+            return set(a) == set(b) and all(eq(a[k], b[k]) for k in a)
+        if isinstance(a, (list, tuple)):
+            return len(a) == len(b) and all(eq(u, v) for u, v in zip(a, b))
+        if hasattr(a, "__dict__"):
+            return eq(vars(a), vars(b))
+        if hasattr(a, "shape"):
+            return np.array_equal(np.asarray(a), np.asarray(b))
+        return a == b
+
+    assert eq(p_batch.stark, p_stream.stark), \
+        "streamed proof differs from batched proof"
+    assert verify_machine(view, p_stream, CFG)

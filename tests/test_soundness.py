@@ -29,7 +29,9 @@ EXIT = """
 """
 
 TOUCH_RAM = """
-    lw   t0, 0x84(zero)
+    addi a7, zero, 0x403    # heap pointer (the output region is WO)
+    ecall
+    mv   t0, a0
     addi t1, zero, 42
     sw   t1, 64(t0)
     sw   t1, 128(t0)
@@ -164,7 +166,7 @@ def test_forged_keccak_state_rejected():
     src = """
         addi a7, zero, 0x403
         ecall
-        keccakf a0
+        keccakf x0, a0, x0
     """ + EXIT
     view, trace = k_trace(asm.assemble(src), backend="python")
     comps, log_sizes, traces = build_machine_traces(view, trace)
