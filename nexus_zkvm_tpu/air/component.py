@@ -361,7 +361,9 @@ def _gen_interaction_body(component, main_cols, pre_cols, relations,
     # running == per-row total T; its prefix sum is the last column
     last = jax.lax.associative_scan(F.m31_add, running, axis=0)
     cols.append(last)
-    return cols
+    # one stacked (B, M, 4) output: a single device buffer instead of
+    # B small ones (each downstream slice would be its own dispatch)
+    return jnp.stack(cols)
 
 
 def _relations_key(relations):
@@ -422,7 +424,7 @@ def generate_interaction(component, main_cols, pre_cols, relations,
     with scope(f"gen:{component.name}"):
         cols = fn(_as_matrix(main_cols), _as_matrix(pre_cols),
                   _relations_flat(relations), _params_flat(component))
-        if not cols:
+        if isinstance(cols, (list, tuple)) and not cols:
             return [], np.zeros(4, np.uint64)
     return cols, cols[-1][-1]
 

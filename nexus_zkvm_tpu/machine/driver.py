@@ -252,8 +252,7 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
             # proceeds while this one crosses the link
             from ..prover.pcs import _ship
             cols = CPU_SCHEMA.to_columns(f)
-            dev = _ship(np.stack(cols))
-            cpu_dev.append([dev[i] for i in range(dev.shape[0])])
+            cpu_dev.append(_ship(np.stack(cols)))
 
     addrs, inits, finals, fts, oc_prev = _ram_data(trace, view)
     # +1 guarantees a padding row so the sorted-address next-row

@@ -172,6 +172,47 @@ def commit_columns(role: str, columns, trace_logs, log_blowup: int,
     return rc
 
 
+def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
+                  keep_natural: bool = True) -> RoleCommitment:
+    """Commit pre-stacked column blocks: blocks[i] is a (k_i, 2^n_i)
+    matrix (device or numpy) whose rows are consecutive committed
+    columns.  Equivalent to `commit_columns` over the flattened rows,
+    but device blocks enter whole — no per-column slice dispatches
+    (each would cost a round trip on a tunneled link)."""
+    idx = 0
+    by_n, trace_logs = {}, []
+    for b, n in zip(blocks, block_logs):
+        k = int(b.shape[0])
+        by_n.setdefault(n, []).append(b)
+        trace_logs += [n] * k
+        idx += k
+    # global column indices in caller order, grouped per size
+    idxs_by_n = {}
+    pos = 0
+    for b, n in zip(blocks, block_logs):
+        k = int(b.shape[0])
+        idxs_by_n.setdefault(n, []).extend(range(pos, pos + k))
+        pos += k
+    coeff_batches, natural = {}, {}
+    for n, mats in by_n.items():
+        if all(isinstance(m, np.ndarray) for m in mats):
+            # host side: one stacked downcast transfer for the size
+            dev = _ship(np.concatenate(mats) if len(mats) > 1
+                        else mats[0])
+        else:
+            mats = [_ship(m) if isinstance(m, np.ndarray)
+                    else jnp.asarray(m, jnp.uint32) for m in mats]
+            dev = mats[0] if len(mats) == 1 else jnp.concatenate(mats)
+        dev = shard_rows(dev)
+        if keep_natural:
+            natural[n] = (idxs_by_n[n], dev)
+        cf = cfft.interpolate(dev[:, jnp.asarray(layout_to_natural(n))])
+        coeff_batches[n] = (idxs_by_n[n], cf)
+    rc = _commit_groups(role, trace_logs, coeff_batches, log_blowup)
+    rc.natural = natural
+    return rc
+
+
 def commit_from_coeffs(role: str, coeffs, trace_logs, log_blowup: int
                        ) -> RoleCommitment:
     by_n = {}

@@ -293,18 +293,29 @@ def prove(components, log_sizes, main_traces, channel,
 
     # -- tree 1: main ---------------------------------------------------
     with scope("commit:main"):
-        main_cols, main_logs = [], []
+        # a component's trace is either a list of natural-order columns
+        # (host numpy) or one (n_main, M) matrix (e.g. a streamed
+        # device-resident segment) — committed whole either way
+        blocks, block_logs = [], []
         for c in range(len(components)):
-            assert len(main_traces[c]) == infos[c].n_main
-            for col in main_traces[c]:
-                assert col.shape == (1 << log_sizes[c],)
-                # device-resident columns (streamed segments) must not
-                # bounce back through the host
-                main_cols.append(col if isinstance(col, jnp.ndarray)
-                                 else np.asarray(col, np.uint32))
-                main_logs.append(log_sizes[c])
-        rc_main = pcs.commit_columns("main", main_cols, main_logs,
-                                     blowup)
+            tr = main_traces[c]
+            if hasattr(tr, "ndim") and tr.ndim == 2:
+                assert tr.shape == (infos[c].n_main,
+                                    1 << log_sizes[c])
+                blocks.append(tr)
+            else:
+                assert len(tr) == infos[c].n_main
+                for col in tr:
+                    assert col.shape == (1 << log_sizes[c],)
+                if infos[c].n_main:
+                    if all(isinstance(col, np.ndarray) for col in tr):
+                        blocks.append(np.stack(
+                            [np.asarray(col, np.uint32) for col in tr]))
+                    else:
+                        blocks.append(jnp.stack(
+                            [jnp.asarray(col, jnp.uint32) for col in tr]))
+            block_logs.append(log_sizes[c])
+        rc_main = pcs.commit_blocks("main", blocks, block_logs, blowup)
         rc_main.mix_roots(channel)
 
     # -- relations + tree 2: interaction ---------------------------------
@@ -332,15 +343,24 @@ def prove(components, log_sizes, main_traces, channel,
         channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
                           if claimed_sums else np.zeros((0, 4),
                                                         np.uint32))
+        # the natural-order copies exist only for interaction gen —
+        # free them (composition reads coeffs; ~1.5 GB at 2^20)
+        rc_main.natural = None
+        rc_pre.natural = None
     with scope("commit:inter"):
-        inter_cols, inter_logs = [], []
+        # one (4B, M) block per component, committed whole — plan
+        # order (b, t) matches the (B, M, 4) -> (B, 4, M) flatten
+        blocks, block_logs = [], []
         for c in range(len(components)):
-            for col in inter_qm31[c]:
-                for t in range(4):
-                    inter_cols.append(col[:, t])    # device, no bounce
-                    inter_logs.append(log_sizes[c])
-        rc_inter = (pcs.commit_columns("inter", inter_cols, inter_logs,
-                                       blowup) if inter_cols else None)
+            arr = inter_qm31[c]
+            if len(arr) == 0:
+                continue
+            blocks.append(jnp.transpose(jnp.asarray(arr), (0, 2, 1))
+                          .reshape(-1, arr.shape[1]))
+            block_logs.append(log_sizes[c])
+        rc_inter = (pcs.commit_blocks("inter", blocks, block_logs,
+                                      blowup, keep_natural=False)
+                    if blocks else None)
         if rc_inter is not None:
             rc_inter.mix_roots(channel)
 
