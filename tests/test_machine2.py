@@ -268,3 +268,103 @@ def test_prove_verify_machine2():
     # machine v1 and machine2 proofs are not interchangeable
     from nexus_zkvm_tpu.machine import verify_machine
     assert not verify_machine(view, proof, CFG)
+
+
+# ---------------------------------------------------------------------------
+# machine2-specific attack surfaces
+# ---------------------------------------------------------------------------
+
+def _m2_traces(src):
+    view, trace = k_trace(asm.assemble(src))
+    return build_machine2_traces(view, trace)
+
+
+def _reject(comps, log_sizes, traces):
+    with pytest.raises(ConstraintViolation):
+        assert_constraints(comps, log_sizes, traces)
+
+
+def _mutate(comps, traces, fam, col_name, row, val, idx=0):
+    ci = [c.name for c in comps].index(fam)
+    comp = comps[ci]
+    col = comp.SCHEMA.slot(col_name, idx)
+    traces[ci] = list(traces[ci])
+    traces[ci][col] = traces[ci][col].copy()
+    traces[ci][col][row] = val
+    return traces
+
+
+def test_forged_branch_taken_bit_rejected():
+    """Flipping the committed taken bit redirects the branch target --
+    must break either t's defining constraint or the exec chain."""
+    comps, log_sizes, traces = _m2_traces(PROGRAMS["branch"] + EXIT)
+    ci = [c.name for c in comps].index("ex_branch")
+    t_col = comps[ci].SCHEMA.slot("t")
+    row = int(np.flatnonzero(traces[ci][comps[ci].SCHEMA.slot("pad")]
+                             == 0)[0])
+    traces = _mutate(comps, list(traces), "ex_branch", "t", row,
+                     1 - int(traces[ci][t_col][row]))
+    _reject(comps, log_sizes, traces)
+
+
+def test_forged_jalr_wrap_bit_rejected():
+    """Flipping the JALR 2^32-wrap bit moves the emitted target by +-2
+    (mod M31) -- never onto a word-aligned pc, so the exec chain
+    cannot close."""
+    comps, log_sizes, traces = _m2_traces(PROGRAMS["jump"] + EXIT)
+    ci = [c.name for c in comps].index("ex_jump")
+    sch = comps[ci].SCHEMA
+    fl = traces[ci][sch.slot("f", 1)]          # JALR flag column
+    rows = np.flatnonzero(np.asarray(fl) == 1)
+    assert len(rows), "workload has a jalr"
+    row = int(rows[0])
+    traces = _mutate(comps, list(traces), "ex_jump", "c32", row,
+                     1 - int(traces[ci][sch.slot("c32")][row]))
+    _reject(comps, log_sizes, traces)
+
+
+def test_forged_imm_sign_rejected():
+    """The immediate sign bit is pinned by its decomposition (im_s /
+    im_l7 + r128); flipping it must violate the decomposition."""
+    comps, log_sizes, traces = _m2_traces(PROGRAMS["fib"] + EXIT)
+    ci = [c.name for c in comps].index("ex_branch")
+    sch = comps[ci].SCHEMA
+    row = int(np.flatnonzero(
+        np.asarray(traces[ci][sch.slot("pad")]) == 0)[0])
+    traces = _mutate(comps, list(traces), "ex_branch", "im_s", row,
+                     1 - int(traces[ci][sch.slot("im_s")][row]))
+    _reject(comps, log_sizes, traces)
+
+
+def test_wrong_family_routing_rejected():
+    """Moving a step into the wrong family forges its fetch tuple: the
+    opid emitted to `prog` cannot match the program table."""
+    comps, log_sizes, traces = _m2_traces(PROGRAMS["fib"] + EXIT)
+    alu_i = [c.name for c in comps].index("ex_alu")
+    bit_i = [c.name for c in comps].index("ex_bit")
+    alu, bit = comps[alu_i], comps[bit_i]
+    # take ex_alu's first real row and append it to ex_bit as an AND
+    traces = list(traces)
+    tr_bit = [col.copy() for col in traces[bit_i]]
+    n_bit = int((np.asarray(tr_bit[bit.SCHEMA.slot("pad")]) == 0).sum())
+    assert n_bit + 1 < len(tr_bit[0]), "need padding room"
+    for name in ("clk", "pc", "imm", "opa", "opb", "opc", "b"):
+        w = alu.SCHEMA.width(name)
+        for i in range(w):
+            tr_bit[bit.SCHEMA.slot(name, i)][n_bit] = \
+                traces[alu_i][alu.SCHEMA.slot(name, i)][0]
+    tr_bit[bit.SCHEMA.slot("pad")][n_bit] = 0
+    tr_bit[bit.SCHEMA.slot("f", 0)][n_bit] = 1        # claim it's AND
+    traces[bit_i] = tr_bit
+    _reject(comps, log_sizes, traces)
+
+
+def test_pc_chain_forgery_rejected():
+    """Changing a committed pc must break fetch or the exec chain."""
+    comps, log_sizes, traces = _m2_traces(PROGRAMS["fib"] + EXIT)
+    ci = [c.name for c in comps].index("ex_alu")
+    sch = comps[ci].SCHEMA
+    old = int(traces[ci][sch.slot("pc", 0)][0])
+    traces = _mutate(comps, list(traces), "ex_alu", "pc", 0,
+                     (old + 4) % 256, idx=0)
+    _reject(comps, log_sizes, traces)
