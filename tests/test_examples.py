@@ -177,3 +177,38 @@ def test_emulator_config_matrix(name, inp):
         view_nat, trace_nat = run(name, pub, backend="native")
         assert view_nat.exit_code == view_py.exit_code
         assert view_nat.public_output == view_py.public_output
+
+
+def test_galeshapley():
+    """Stable matching vs a host-model Gale-Shapley."""
+    men = [[0, 1, 2, 3], [1, 0, 3, 2], [2, 3, 0, 1], [3, 1, 2, 0]]
+    women = [[3, 2, 1, 0], [0, 1, 2, 3], [1, 0, 3, 2], [2, 3, 0, 1]]
+
+    def host_gs():
+        wrank = [[0] * 4 for _ in range(4)]
+        for w in range(4):
+            for k, m in enumerate(women[w]):
+                wrank[w][m] = k
+        nxt, husband, wife = [0] * 4, [None] * 4, [None] * 4
+        while None in wife:
+            m = wife.index(None)
+            w = men[m][nxt[m]]
+            nxt[m] += 1
+            if husband[w] is None:
+                husband[w], wife[m] = m, w
+            elif wrank[w][m] < wrank[w][husband[w]]:
+                wife[husband[w]] = None
+                husband[w], wife[m] = m, w
+        return wife
+
+    flat = [x for row in men for x in row] + \
+           [x for row in women for x in row]
+    view, trace = run("galeshapley.s", encode_u32s(*flat),
+                      backend="python")
+    assert view.exit_code == 0
+    assert decode_u32s(view.public_output, 4) == host_gs()
+    check_machine(view, trace)
+    # machine2 proves it too
+    from nexus_zkvm_tpu.machine2 import build_machine2_traces
+    comps, log_sizes, traces = build_machine2_traces(view, trace)
+    assert_constraints(comps, log_sizes, traces)
