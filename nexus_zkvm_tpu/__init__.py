@@ -17,3 +17,13 @@ traced, statically shaped, and vectorized over trace rows.
 """
 
 __version__ = "0.1.0"
+
+# The field kernels compute 31x31-bit modular products through native
+# uint64 arithmetic (one widening multiply + a Mersenne fold) instead of
+# 16-bit limb decompositions: the traced graphs are ~4x smaller (XLA
+# compile and trace time scale with op count) and the fused kernels move
+# ~4x less HBM traffic. XLA emulates u64 on TPU with u32 pairs — still
+# far cheaper than explicit limb arithmetic at the HLO level.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)

@@ -388,9 +388,6 @@ def _params_flat(component):
             for k, v in component.params().items()}
 
 
-_GEN_JIT = {}
-
-
 def generate_interaction(component, main_cols, pre_cols, relations,
                          log_size: int):
     """Run evaluate() to collect fractions; build the LogUp columns.
@@ -399,31 +396,24 @@ def generate_interaction(component, main_cols, pre_cols, relations,
     (2^log_size, 4) uint32 jnp arrays (natural order), claimed_sum a
     (4,) DEVICE array (callers np.asarray it after dispatching every
     component, so the per-component executions pipeline instead of
-    host-syncing one by one).  The whole generation is one jitted
-    XLA program per (component, shapes) — layout constants enter as
-    traced params so the compiled graph is program-independent.
+    host-syncing one by one).  The whole generation is one stored AOT
+    XLA program per (component, shapes) — layout constants and
+    Fiat-Shamir randomness enter as arguments so the stored artifact
+    is program-independent.
     """
-    def _nc(x):
-        if x is None:
-            return 0
-        if hasattr(x, "ndim") and x.ndim >= 2:
-            return int(x.shape[0])
-        return len(x)
-
     from ..utils.profile import scope
+    from ..utils.progstore import aot_call
     key = ("gen", component.jit_key(), log_size,
-           _relations_key(relations), _nc(main_cols), _nc(pre_cols))
-    fn = _GEN_JIT.get(key)
-    if fn is None:
-        def raw(main, pre, rel_flat, params):
-            rels = _relations_unflat(rel_flat)
-            return _gen_interaction_body(component, main, pre, rels,
-                                         log_size, params)
-        fn = jax.jit(raw)
-        _GEN_JIT[key] = fn
+           _relations_key(relations))
+
+    def raw(main, pre, rel_flat, params):
+        rels = _relations_unflat(rel_flat)
+        return _gen_interaction_body(component, main, pre, rels,
+                                     log_size, params)
     with scope(f"gen:{component.name}"):
-        cols = fn(_as_matrix(main_cols), _as_matrix(pre_cols),
-                  _relations_flat(relations), _params_flat(component))
+        cols = aot_call(key, raw, _as_matrix(main_cols),
+                        _as_matrix(pre_cols), _relations_flat(relations),
+                        _params_flat(component))
         if isinstance(cols, (list, tuple)) and not cols:
             return [], np.zeros(4, np.uint64)
     return cols, cols[-1][-1]
@@ -580,60 +570,53 @@ def run_constraints(component, ctx):
     return ctx.acc, ctx.n_constraints
 
 
-_DOMAIN_JIT = {}
+_NCONS_CACHE = {}
+
+
+def _n_constraints_of(component) -> int:
+    """Constraint count via a host-side InfoContext run (cached —
+    the count is shape- and randomness-independent)."""
+    key = component.jit_key()
+    if key not in _NCONS_CACHE:
+        _NCONS_CACHE[key] = component_info(component).n_constraints
+    return _NCONS_CACHE[key]
 
 
 def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
                            isf_evals, relations, claimed, alpha):
-    """Jitted composition evaluation over the 4x domain.
+    """Composition evaluation over the 4x domain as a stored AOT
+    program.
 
     Returns (acc (M, 4) jnp array | None, n_constraints).  One XLA
     program per (component, shapes); layout constants and Fiat-Shamir
-    randomness are traced inputs, so repeat proofs hit the persistent
-    compilation cache.
+    randomness enter as arguments, so repeat proofs reuse the stored
+    artifact and the persistent compilation cache.
     """
-    def _ncols(x):
-        if x is None:
-            return 0
-        if hasattr(x, "ndim") and x.ndim >= 2:
-            return int(x.shape[0])
-        return len(x)
+    from ..utils.progstore import aot_call
+    key = ("dom", component.jit_key(), _relations_key(relations))
 
-    key = ("dom", component.jit_key(), _relations_key(relations),
-           _ncols(main_evals), _ncols(pre_evals), _ncols(inter_evals),
-           int(isf_evals.shape[0]))
-    entry = _DOMAIN_JIT.get(key)
-    if entry is None:
-        # the constraint count is shape-static: capture it at trace
-        # time instead of returning it through the jitted program (an
-        # int() on a jit output would block on the WHOLE graph,
-        # serializing the per-component composition dispatches)
-        kholder = {}
+    def raw(main, pre, inter, isf, rel_flat, claimed_, alpha_,
+            params):
+        ctx = DomainEvalContext(
+            main, pre, inter, isf,
+            _relations_unflat(rel_flat), claimed_, alpha_,
+            params=params)
+        component.evaluate(ctx)
+        _finalize_logup(ctx)
+        ctx.finalize_acc()
+        if ctx.acc is None:
+            return None
+        return ctx.acc.as_qm31().v
 
-        def raw(main, pre, inter, isf, rel_flat, claimed_, alpha_,
-                params):
-            ctx = DomainEvalContext(
-                main, pre, inter, isf,
-                _relations_unflat(rel_flat), claimed_, alpha_,
-                params=params)
-            component.evaluate(ctx)
-            _finalize_logup(ctx)
-            ctx.finalize_acc()
-            kholder["k"] = ctx.n_constraints
-            if ctx.acc is None:
-                return None
-            return ctx.acc.as_qm31().v
-        entry = (jax.jit(raw, static_argnames=()), kholder)
-        _DOMAIN_JIT[key] = entry
-    fn, kholder = entry
     if getattr(inter_evals, "ndim", None) == 3:
         inter_m = jnp.asarray(inter_evals)
     else:
         inter_m = (jnp.stack([jnp.asarray(c) for c in inter_evals])
                    if len(inter_evals) else None)
-    acc = fn(_as_matrix(main_evals), _as_matrix(pre_evals), inter_m,
-             isf_evals, _relations_flat(relations),
-             jnp.asarray(np.asarray(claimed, np.uint32)),
-             jnp.asarray(np.asarray(alpha, np.uint32)),
-             _params_flat(component))
-    return acc, int(kholder["k"])
+    acc = aot_call(key, raw, _as_matrix(main_evals),
+                   _as_matrix(pre_evals), inter_m,
+                   isf_evals, _relations_flat(relations),
+                   jnp.asarray(np.asarray(claimed, np.uint32)),
+                   jnp.asarray(np.asarray(alpha, np.uint32)),
+                   _params_flat(component))
+    return acc, _n_constraints_of(component)

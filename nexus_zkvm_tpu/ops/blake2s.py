@@ -131,7 +131,6 @@ def batch_compress(h, m, t: int, last: bool):
     return jnp.stack(out, axis=-1)
 
 
-@functools.partial(jax.jit)
 def batch_blake2s_words(msgs):
     """Blake2s-256 of B equal-length word-aligned messages.
 
@@ -139,9 +138,14 @@ def batch_blake2s_words(msgs):
     little-endian words (Blake2s native order). Returns (..., 8) uint32
     digests. W is static; all messages in a batch share it.
 
-    Jitted: the ~800-op unrolled compression compiles once per input
-    shape instead of op-by-op in eager mode.
+    Runs as a stored AOT program (one per input shape) unless called
+    under an outer trace (the Merkle climbs inline it).
     """
+    from ..utils.progstore import aot_call
+    return aot_call("blake2s.batch_words", _batch_blake2s_words, msgs)
+
+
+def _batch_blake2s_words(msgs):
     msgs = jnp.asarray(msgs, jnp.uint32)
     w = msgs.shape[-1]
     nbytes = 4 * w

@@ -49,12 +49,19 @@ def _stage_split(v, j: int, n: int):
     return v.reshape(v.shape[:-1] + (1 << (j - 1), 2, half))
 
 
-@functools.partial(jax.jit, static_argnames=("include_scale",))
 def interpolate(evals, include_scale: bool = True):
     """Evaluations on domain(log N) -> bit-reversed FFT coefficients.
 
-    evals: (..., N) uint32 M31. Returns same shape.
+    evals: (..., N) uint32 M31. Returns same shape. Runs as a stored
+    AOT program (see `utils/progstore`) unless called under a trace.
     """
+    from ..utils.progstore import aot_call
+    return aot_call(("cfft.interpolate", include_scale),
+                    functools.partial(_interpolate, include_scale=include_scale),
+                    evals)
+
+
+def _interpolate(evals, include_scale: bool = True):
     evals = jnp.asarray(evals, jnp.uint32)
     n_size = evals.shape[-1]
     n = int(n_size).bit_length() - 1
@@ -83,13 +90,20 @@ def interpolate(evals, include_scale: bool = True):
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("log_size",))
 def evaluate(coeffs, log_size: int | None = None):
     """Bit-reversed FFT coefficients -> evaluations on domain(log_size).
 
     coeffs: (..., K) with K = 2^k. If log_size > k the coefficients are
     zero-extended into the larger basis first (low-degree extension).
+    Runs as a stored AOT program unless called under a trace.
     """
+    from ..utils.progstore import aot_call
+    return aot_call(("cfft.evaluate", log_size),
+                    functools.partial(_evaluate, log_size=log_size),
+                    coeffs)
+
+
+def _evaluate(coeffs, log_size: int | None = None):
     coeffs = jnp.asarray(coeffs, jnp.uint32)
     k_size = coeffs.shape[-1]
     k = int(k_size).bit_length() - 1

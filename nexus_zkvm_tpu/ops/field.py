@@ -74,53 +74,37 @@ def m31_neg(a):
     return jnp.where(a == 0, a, _U32_P - a)
 
 
-def m31_fold_sum(x, axis: int = 0):
-    """Modular sum along `axis` via a pairwise m31_add tree.
+_U64_P = np.uint64(P)
 
-    NB: jnp.sum with a uint64 view is NOT safe here — jax runs with
-    x64 disabled, so `astype(jnp.uint64)` silently stays uint32 and
-    sums of canonical values wrap (2^32 = 2 mod p).
+
+def m31_fold_sum(x, axis: int = 0):
+    """Modular sum along `axis`: one exact uint64 sum + a Mersenne fold.
+
+    Values are canonical (< 2^31), so a u64 accumulator is exact for up
+    to 2^33 terms — far beyond any axis we fold (constraint chunks,
+    LogUp batches, domain rows ≤ 2^26). One HLO reduction instead of a
+    log-depth add/where tree (the package enables jax_enable_x64).
     """
-    x = jnp.moveaxis(jnp.asarray(x, jnp.uint32), axis, 0)
-    while x.shape[0] > 1:
-        k = x.shape[0]
-        if k % 2:
-            head, x = x[:1], x[1:]
-        else:
-            head = None
-        x = m31_add(x[: k // 2], x[k // 2:])
-        if head is not None:
-            x = jnp.concatenate([head, x], axis=0)
-    return x[0]
+    x = jnp.asarray(x, jnp.uint32)
+    assert x.shape[axis] <= (1 << 33)
+    s = jnp.sum(x.astype(jnp.uint64), axis=axis)       # < 2^64, exact
+    r = (s & _U64_P) + (s >> jnp.uint64(31))           # < 2^33
+    r = (r & _U64_P) + (r >> jnp.uint64(31))           # <= p + 3
+    return jnp.where(r >= _U64_P, r - _U64_P, r).astype(jnp.uint32)
 
 
 def m31_mul(a, b):
-    """31-bit modular product via 16-bit limbs (no 64-bit arithmetic).
+    """31-bit modular product via one widening uint64 multiply.
 
-    a = a0 + a1·2^16, b = b0 + b1·2^16 with a0,b0 < 2^16 and a1,b1 < 2^15.
-    t = a·b = p00 + pm·2^16 + p11·2^32 and 2^31 ≡ 1, 2^32 ≡ 2 (mod p).
+    t = a·b < 2^62; with 2^31 ≡ 1 (mod p) two shift-and-mask folds bring
+    t into [0, p]. ~8 HLO ops vs ~22 for 16-bit limb decomposition —
+    graph size drives XLA trace/compile time, and the fused kernel moves
+    less HBM traffic. XLA emulates u64 on TPU with u32 pairs.
     """
-    a, b = _u32(a), _u32(b)
-    mask16 = jnp.uint32(0xFFFF)
-    a0, a1 = a & mask16, a >> 16
-    b0, b1 = b & mask16, b >> 16
-
-    p00 = a0 * b0                          # < 2^32, fits
-    p11 = a1 * b1                          # < 2^30
-    pm = a0 * b1 + a1 * b0                 # < 2^32, fits
-
-    lo = p00 + ((pm & mask16) << 16)
-    carry = (lo < p00).astype(jnp.uint32)  # uint32 wraparound detection
-    hi = p11 + (pm >> 16) + carry          # < 2^30 + 2^16 + 1
-
-    # t = hi·2^32 + lo ≡ 2·hi + lo (mod p)
-    r1 = (lo & _U32_P) + (lo >> 31)        # <= p + 1
-    r1 = jnp.where(r1 >= _U32_P, r1 - _U32_P, r1)
-    h2 = hi << 1                           # < 2^31 + 2^17, fits
-    h2 = (h2 & _U32_P) + (h2 >> 31)
-    h2 = jnp.where(h2 >= _U32_P, h2 - _U32_P, h2)
-    s = r1 + h2                            # <= 2p - 2, fits
-    return jnp.where(s >= _U32_P, s - _U32_P, s)
+    t = _u32(a).astype(jnp.uint64) * _u32(b).astype(jnp.uint64)
+    r = (t & _U64_P) + (t >> jnp.uint64(31))           # < 2^32
+    r = (r & _U64_P) + (r >> jnp.uint64(31))           # <= p + 1
+    return jnp.where(r >= _U64_P, r - _U64_P, r).astype(jnp.uint32)
 
 
 def m31_pow(x, e: int):

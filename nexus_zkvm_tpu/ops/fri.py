@@ -98,16 +98,20 @@ def line_fold_twiddles(log_line_size: int) -> np.ndarray:
 import jax as _jax
 
 
-@_jax.jit
-def _fold(v, alpha, inv_twiddles):
-    """One fold step. v: (2L, 4) uint32 QM31; returns (L, 4).
-    Jitted: one device dispatch per fold instead of ~8 eager ops."""
+def _fold_body(v, alpha, inv_twiddles):
     v = v.reshape(-1, 2, 4)
     a, b = v[:, 0, :], v[:, 1, :]
     t = jnp.asarray(inv_twiddles)
     f0 = qm31_add(a, b)
     f1 = qm31_mul_m31(qm31_sub(a, b), t)
     return qm31_add(f0, qm31_mul(jnp.asarray(alpha, jnp.uint32), f1))
+
+
+def _fold(v, alpha, inv_twiddles):
+    """One fold step. v: (2L, 4) uint32 QM31; returns (L, 4).
+    A stored AOT program: one device dispatch per fold."""
+    from ..utils.progstore import aot_call
+    return aot_call("fri.fold", _fold_body, v, alpha, inv_twiddles)
 
 
 def fold_circle(v, alpha, log_size: int):

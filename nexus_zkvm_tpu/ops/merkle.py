@@ -116,7 +116,6 @@ def commit(columns) -> MerkleTree:
     return MerkleTree(layers=layers, columns=cols, by_depth=by_depth)
 
 
-_CLIMB_JIT = {}
 _CLIMB_BLOCK = None  # resolved lazily per backend (see _climb_block_size)
 
 
@@ -134,24 +133,23 @@ def _climb_block_size() -> int:
 
 
 def _climb_block(leaf: bool, d_top: int, n_blk: int):
-    """Jitted hash of `n_blk` consecutive layers ending at depth
+    """AOT-stored hash of `n_blk` consecutive layers ending at depth
     d_top (leaf=True: the input is the (R, W) leaf matrix)."""
-    import jax
-    key = ("blk", leaf, d_top, n_blk)
-    fn = _CLIMB_JIT.get(key)
-    if fn is None:
-        def blk(x):
-            out = []
-            below = batch_blake2s_words(x if leaf else
-                                        x.reshape(1 << d_top, 16))
+    from ..utils.progstore import aot_call
+
+    def blk(x):
+        out = []
+        below = batch_blake2s_words(x if leaf else
+                                    x.reshape(1 << d_top, 16))
+        out.append(below)
+        for dd in range(d_top - 1, d_top - n_blk, -1):
+            below = batch_blake2s_words(below.reshape(1 << dd, 16))
             out.append(below)
-            for dd in range(d_top - 1, d_top - n_blk, -1):
-                below = batch_blake2s_words(below.reshape(1 << dd, 16))
-                out.append(below)
-            return out
-        fn = jax.jit(blk)
-        _CLIMB_JIT[key] = fn
-    return fn
+        return out
+
+    def call(x):
+        return aot_call(("merkle.climb", leaf, d_top, n_blk), blk, x)
+    return call
 
 
 def commit_matrix(matrix) -> MerkleTree:

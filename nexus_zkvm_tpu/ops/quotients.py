@@ -83,24 +83,17 @@ def n_terms(samples) -> int:
     return sum(len(s.columns) for s in samples)
 
 
-_ACC_JIT = {}
-
-
-def _accumulate_raw(log_size: int, n_samples: int, k_max: int):
+def _accumulate_raw(n_samples: int):
     """Build the fused per-size accumulation kernel: the whole sample
     loop (denominator line, batched QM31 inverse, weighted column fold)
-    is ONE traced XLA program — a single device dispatch per size
+    is ONE stored XLA program — a single device dispatch per size
     group instead of ~50 eager round-trips per sample (the eager
     `qm31_inv` pow-ladder alone was ~40 dispatches over a tunneled
-    device link)."""
-    import jax
+    device link). The domain points enter as arguments so the stored
+    artifact is point-set-independent."""
     from .field import m31_mul, m31_fold_sum
 
-    xs, ys = committed_points(log_size)
-
-    def raw(columns, zx, zy, dx, dy, A, B, gcs, idx):
-        x_p = jnp.asarray(xs)
-        y_p = jnp.asarray(ys)
+    def raw(columns, x_p, y_p, zx, zy, dx, dy, A, B, gcs, idx):
         total = None
         for s in range(n_samples):
             # V(p) = dy*(x_p - x_z) - dx*(y_p - y_z)
@@ -119,7 +112,7 @@ def _accumulate_raw(log_size: int, n_samples: int, k_max: int):
                                                            contrib)
         return total
 
-    return jax.jit(raw)
+    return raw
 
 
 def accumulate_quotients(log_size: int, columns, samples, gamma,
@@ -167,12 +160,11 @@ def accumulate_quotients(log_size: int, columns, samples, gamma,
         As[si] = A.astype(np.uint32)
         Bs[si] = B.astype(np.uint32)
 
-    key = (log_size, S, k_max)
-    fn = _ACC_JIT.get(key)
-    if fn is None:
-        fn = _accumulate_raw(log_size, S, k_max)
-        _ACC_JIT[key] = fn
-    return fn(jnp.asarray(columns), zx, zy, dxs, dys, As, Bs, gcs, idx)
+    from ..utils.progstore import aot_call
+    xs, ys = committed_points(log_size)
+    return aot_call(("quot.accumulate", S), _accumulate_raw(S),
+                    jnp.asarray(columns), jnp.asarray(xs),
+                    jnp.asarray(ys), zx, zy, dxs, dys, As, Bs, gcs, idx)
 
 
 class QuotientsAt:

@@ -164,15 +164,19 @@ def _build_samples(plan: Plan, z, sampled):
 import jax as _jax
 
 
-@_jax.jit
-def _oods_dot(cols, basis):
-    """(C, N) coeff rows x (N, 4) point basis -> (C, 4) QM31 values."""
+def _oods_dot_body(cols, basis):
     from ..ops.field import m31_mul as _mm, m31_fold_sum as _fs
     outs = []
     for t in range(4):
         prod = _mm(cols, basis[None, :, t])          # (C, N)
         outs.append(_fs(prod, axis=1))
     return jnp.stack(outs, axis=-1)
+
+
+def _oods_dot(cols, basis):
+    """(C, N) coeff rows x (N, 4) point basis -> (C, 4) QM31 values."""
+    from ..utils.progstore import aot_call
+    return aot_call("stark.oods_dot", _oods_dot_body, cols, basis)
 
 
 _INV_VANISH_CACHE = {}

@@ -1,0 +1,147 @@
+"""Disk-backed ahead-of-time program store for the prover's XLA programs.
+
+Why this exists (TPU-first): a full machine prove runs ~100 distinct
+XLA programs (per-component interaction generation and composition
+evaluation, CFFT/LDE stacks, Merkle climbs, FRI folds, quotient
+accumulation). Under plain ``jax.jit`` every *process* pays Python
+tracing + StableHLO lowering for each of them — ~2 minutes of host work
+before the first proof, even when the XLA persistent compile cache is
+warm (it only skips the backend compile, not tracing/lowering). The
+reference amortizes the equivalent cost at `cargo build` time; a
+Python/JAX framework has to amortize it at *export* time instead.
+
+Mechanism: every prover program goes through :func:`aot_call`, which
+keys on (site key, argument avals, backend, jax version) and
+
+* reuses an in-process ``Exported`` if one is cached,
+* else deserializes one from the on-disk store (~1 ms; no tracing,
+  no lowering — the serialized artifact IS the StableHLO),
+* else traces + exports once and writes the artifact back.
+
+The XLA persistent compile cache (configured by callers/bench) then
+makes the per-process backend compile a lookup as well, so a warm
+machine proves within seconds of process start.
+
+Sharded runs (an active mesh, or explicitly disabled stores) fall back
+to ordinary ``jax.jit`` — exported programs pin the export-time device
+topology, while mesh runs want the SPMD partitioner to see the live
+sharding.
+
+Reference analogue: none — stwo is compiled Rust; this is the piece of
+the runtime that JAX needs to reach the same "compile once, run many"
+shape (`/root/reference/Cargo.toml:43-52` pins the prover engine as a
+build-time dependency for the same reason).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import threading
+
+import jax
+import numpy as np
+
+__all__ = ["aot_call", "store_dir", "clear_memory_cache"]
+
+# Bump when kernel semantics change incompatibly with stored artifacts
+# (the aval key catches shape/dtype changes; this catches math changes).
+_STORE_VERSION = "v1"
+
+_mem: dict = {}
+_jit_mem: dict = {}
+_lock = threading.Lock()
+
+
+def store_dir() -> str:
+    """Artifact directory: keyed by jax version + backend so stale
+    artifacts from another environment are never loaded."""
+    base = os.environ.get("NZT_PROGRAM_STORE")
+    if not base:
+        base = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".nzt_programs")
+    d = os.path.join(
+        base, f"{_STORE_VERSION}-jax{jax.__version__}-"
+              f"{jax.default_backend()}")
+    return d
+
+
+def clear_memory_cache() -> None:
+    with _lock:
+        _mem.clear()
+        _jit_mem.clear()
+
+
+def _aval_sig(args):
+    flat, treedef = jax.tree.flatten(args)
+    sig = tuple((tuple(x.shape), str(np.asarray(x).dtype)
+                 if not hasattr(x, "dtype") else str(x.dtype))
+                for x in flat)
+    return sig, str(treedef)
+
+
+def _disabled() -> bool:
+    if os.environ.get("NZT_NO_PROGRAM_STORE"):
+        return True
+    from ..parallel.context import active_mesh
+    return active_mesh() is not None
+
+
+def aot_call(site_key, fn, *args):
+    """Run ``fn(*args)`` as a stored ahead-of-time XLA program.
+
+    ``site_key`` must capture everything that shapes the traced graph
+    besides the argument avals (component identity, static sizes...).
+    ``fn`` must be pure and weak-ref-free (it is only traced on a store
+    miss). Falls back to a cached ``jax.jit`` under an active mesh.
+    """
+    flat = jax.tree.leaves(args)
+    if any(isinstance(x, jax.core.Tracer) for x in flat):
+        # already under an outer trace: inline into the caller's graph
+        return fn(*args)
+    sig, tdef = _aval_sig(args)
+    key = (site_key, sig, tdef)
+    if _disabled():
+        with _lock:
+            fj = _jit_mem.get(key)
+            if fj is None:
+                fj = jax.jit(fn)
+                _jit_mem[key] = fj
+        return fj(*args)
+
+    with _lock:
+        exp = _mem.get(key)
+    if exp is None:
+        exp = _load_or_export(key, fn, args)
+        with _lock:
+            _mem[key] = exp
+    return exp.call(*args)
+
+
+def _key_digest(key) -> str:
+    return hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+
+
+def _load_or_export(key, fn, args):
+    from jax import export as jexport
+    d = store_dir()
+    path = os.path.join(d, _key_digest(key) + ".nzp")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return jexport.deserialize(f.read())
+        except Exception:
+            pass          # stale/corrupt artifact: fall through, re-export
+    exp = jexport.export(jax.jit(fn))(*args)
+    try:
+        os.makedirs(d, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(exp.serialize())
+        os.replace(tmp, path)
+        with open(os.path.join(d, "index.txt"), "a") as f:
+            f.write(f"{_key_digest(key)}  {key!r}\n")
+    except OSError:
+        pass              # read-only store: still usable in-memory
+    return exp
