@@ -76,6 +76,8 @@ def main():
                           os.path.abspath(__file__)),
                           ".jax_cache" if args.cpu else ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    # persist everything: on a tunneled TPU backend even a micro-op
+    # compile is a ~0.4s service round trip, so a ~30ms cache read wins
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     if args.machine2:

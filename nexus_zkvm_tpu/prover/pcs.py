@@ -107,6 +107,43 @@ class RoleCommitment:
                 for s in self.sizes_desc()]
 
 
+def _lde_climb_body(batch, brev, s: int):
+    """Coeff batch (C, 2^n) -> (evals committed (C, 2^s), [layers])."""
+    from ..ops.blake2s import batch_blake2s_words
+    ev = cfft.evaluate(batch, s)                      # layout order
+    ev = ev[:, brev]                                  # committed order
+    layers = []
+    below = batch_blake2s_words(ev.T)                 # leaf layer (2^s, 8)
+    layers.append(below)
+    for dd in range(s - 1, -1, -1):
+        below = batch_blake2s_words(below.reshape(1 << dd, 16))
+        layers.append(below)
+    return ev, layers
+
+
+def _fused_lde_commit(batch, n: int, s: int):
+    """One stored AOT program per (shape, s): LDE + bit-reverse +
+    every Merkle layer — a single device dispatch per size group
+    instead of ~3 + depth/8.  XLA:CPU chokes on the long chained-hash
+    graph, so the CPU backend keeps the split path."""
+    import jax
+    import os
+    from ..utils.progstore import aot_call
+    from ..parallel.context import active_mesh
+    force = os.environ.get("NZT_FUSE_COMMIT")     # "1" force / "0" off
+    if force == "0" or active_mesh() is not None or (
+            force != "1" and jax.default_backend() == "cpu"):
+        return None
+    import functools
+    ev, layers = aot_call(("pcs.lde_climb", s),
+                          functools.partial(_lde_climb_body, s=s),
+                          batch, jnp.asarray(bit_reverse_indices(s)))
+    tree = merkle.MerkleTree(layers=list(reversed(layers)), columns=[],
+                             by_depth={s: list(range(batch.shape[0]))},
+                             matrix=ev)
+    return ev, tree
+
+
 def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
     cols_by_size, evals, trees = {}, {}, {}
     for i in range(len(trace_logs)):
@@ -116,6 +153,10 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
         n = s - log_blowup
         b_idxs, batch = coeff_batches[n]
         assert b_idxs == idxs
+        fused = _fused_lde_commit(batch, n, s)
+        if fused is not None:
+            evals[s], trees[s] = fused
+            continue
         ev = cfft.evaluate(batch, s)                      # layout order
         ev = ev[:, jnp.asarray(bit_reverse_indices(s))]   # committed
         evals[s] = ev

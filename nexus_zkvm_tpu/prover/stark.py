@@ -215,6 +215,194 @@ def _qm31_reconstruct(vals):
     return acc
 
 
+def _plan_sig(components, log_sizes, relations, blowup):
+    """Hashable identity of a proving plan: keys the fused phase
+    programs (everything below is derived deterministically from it)."""
+    from ..air.component import _relations_key
+    return (tuple(int(n) for n in log_sizes),
+            tuple(c.jit_key() for c in components),
+            _relations_key(relations), blowup)
+
+
+def _interactions_fused(components, infos, plan, log_sizes, relations,
+                        rc_pre, rc_main):
+    """The whole interaction-generation phase as ONE stored AOT
+    program: per component, slice its natural-order rows out of the
+    per-size committed matrices (static indices), run its LogUp
+    generation, and emit the (B, M, 4) column stacks plus the stacked
+    claimed sums.  Identical outputs to per-component
+    `generate_interaction` calls; one device dispatch."""
+    from ..air.component import (_gen_interaction_body, _relations_flat,
+                                 _relations_unflat, _params_flat)
+    from ..utils.progstore import aot_call
+
+    nc = len(components)
+    sel = []
+    for c in range(nc):
+        per = {}
+        n = log_sizes[c]
+        for role, rc in (("main", rc_main), ("pre", rc_pre)):
+            idxs_plan = [plan.metas[i].ridx for i in plan.by_role[role]
+                         if plan.metas[i].comp == c]
+            if not idxs_plan:
+                per[role] = None
+                continue
+            b_idxs, _ = rc.natural[n]
+            rowmap = {ci: r for r, ci in enumerate(b_idxs)}
+            per[role] = np.asarray([rowmap[i] for i in idxs_plan],
+                                   np.int64)
+        sel.append(per)
+    nats = {"main": {str(n): rc_main.natural[n][1]
+                     for n in rc_main.natural},
+            "pre": {str(n): rc_pre.natural[n][1]
+                    for n in rc_pre.natural}}
+    params_all = [_params_flat(comp) for comp in components]
+
+    def body(nats, rel_flat, params_all):
+        rels = _relations_unflat(rel_flat)
+        outs, claimed = [], []
+        for c, comp in enumerate(components):
+            n = log_sizes[c]
+
+            def rows(role):
+                r = sel[c][role]
+                if r is None:
+                    return None
+                return jnp.asarray(nats[role][str(n)], jnp.uint32)[r]
+
+            cols = _gen_interaction_body(comp, rows("main"), rows("pre"),
+                                         rels, n, params_all[c])
+            if isinstance(cols, (list, tuple)) and not cols:
+                outs.append(None)
+                claimed.append(jnp.zeros(4, jnp.uint32))
+                continue
+            outs.append(cols)
+            claimed.append(cols[-1][-1])
+        return outs, jnp.stack(claimed)
+
+    key = ("stark.interactions", _plan_sig(components, log_sizes,
+                                           relations, 0))
+    return aot_call(key, body, nats, _relations_flat(relations),
+                    params_all)
+
+
+def _composition_coeffs_fused(components, infos, plan, log_sizes,
+                              relations, claimed_sums, alpha, rcs):
+    """The whole composition phase as ONE stored AOT program.
+
+    Per component: LDE its committed coefficient rows to the 4x eval
+    domain, run its constraints (DomainEvalContext), divide by its
+    vanishing polynomial, scale by the alpha shift, and accumulate into
+    per-eval-log buckets; then interpolate the buckets into the 2^comp
+    basis and sum.  Identical math to the per-component loop it
+    replaces (the `NZT_PROVE_SELFTEST` path), but a single device
+    dispatch instead of ~20 programs + ~2k eager glue ops.
+    """
+    from ..air.component import (
+        DomainEvalContext, _finalize_logup, _relations_flat,
+        _relations_unflat, _params_flat)
+    from ..utils.progstore import aot_call
+
+    comp_log = plan.n_comp_trace_log
+    nc = len(components)
+    # ---- static (plan-derived) row selections per component ----------
+    sel = []           # per comp: dict role -> np row-index array | None
+    for c in range(nc):
+        n = log_sizes[c]
+        per = {}
+        for role in ("pre", "main", "inter"):
+            rc = rcs[role]
+            if role == "inter":
+                idxs_plan = [plan.metas[plan.index[("inter", c, (b, t))]]
+                             .ridx
+                             for b in range(infos[c].n_logup_cols)
+                             for t in range(4)]
+            else:
+                idxs_plan = [plan.metas[i].ridx
+                             for i in plan.by_role[role]
+                             if plan.metas[i].comp == c]
+            if not idxs_plan or rc is None:
+                per[role] = None
+                continue
+            b_idxs, _ = rc.coeff_batches[n]
+            rowmap = {ci: r for r, ci in enumerate(b_idxs)}
+            per[role] = np.asarray([rowmap[i] for i in idxs_plan],
+                                   np.int64)
+        isf_ridx = plan.metas[plan.index[
+            ("pre", -1, ("is_first", plan.pre_sizes.index(n)))]].ridx
+        b_idxs, _ = rcs["pre"].coeff_batches[n]
+        per["isf"] = np.asarray([b_idxs.index(isf_ridx)], np.int64)
+        sel.append(per)
+
+    # ---- dynamic args -------------------------------------------------
+    # NB: jax.export serializes only string-keyed dicts — stringify
+    coeffs = {role: {str(n): rcs[role].coeff_batches[n][1]
+                     for n in rcs[role].coeff_batches}
+              for role in ("pre", "main", "inter") if rcs[role] is not None}
+    ev_logs = sorted({log_sizes[c] + 2 for c in range(nc)}, reverse=True)
+    n2l = {str(ev): jnp.asarray(natural_to_layout(ev)) for ev in ev_logs}
+    l2n = {str(ev): jnp.asarray(layout_to_natural(ev)) for ev in ev_logs}
+    invv = {str(log_sizes[c]): inv_vanishing_natural(log_sizes[c],
+                                                     log_sizes[c] + 2)
+            for c in range(nc)}
+    shifts = _alpha_shifts(infos)
+    shift_pows = np.stack([np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
+                           for c in range(nc)])
+    claimed_stack = np.stack([np.asarray(cs, np.uint32)
+                              for cs in claimed_sums])
+    params_all = [_params_flat(comp) for comp in components]
+
+    def body(coeffs, n2l, l2n, invv, claimed_stack, alpha_, shift_pows,
+             rel_flat, params_all):
+        rels = _relations_unflat(rel_flat)
+        buckets = {}
+        for c, comp in enumerate(components):
+            n = log_sizes[c]
+            ev = n + 2
+
+            def nat(role):
+                rows = sel[c][role]
+                if rows is None:
+                    return None
+                cf = coeffs[role][str(n)][rows]
+                e = cfft.evaluate(cf, ev)
+                return e[:, n2l[str(ev)]]
+
+            main_nat, pre_nat = nat("main"), nat("pre")
+            inter_nat = nat("inter")
+            if inter_nat is not None:
+                inter_nat = jnp.transpose(
+                    inter_nat.reshape(infos[c].n_logup_cols, 4, -1),
+                    (0, 2, 1))
+            isf = coeffs["pre"][str(n)][sel[c]["isf"]]
+            isf = cfft.evaluate(isf, ev)[0][n2l[str(ev)]]
+            ctx = DomainEvalContext(main_nat, pre_nat, inter_nat, isf,
+                                    rels, claimed_stack[c], alpha_,
+                                    params=params_all[c])
+            comp.evaluate(ctx)
+            _finalize_logup(ctx)
+            ctx.finalize_acc()
+            if ctx.acc is None:
+                continue
+            contrib = qm31_mul_m31(ctx.acc.as_qm31().v, invv[str(n)])
+            contrib = qm31_mul(jnp.broadcast_to(shift_pows[c],
+                                                contrib.shape), contrib)
+            buckets[ev] = (contrib if ev not in buckets
+                           else m31_add(buckets[ev], contrib))
+        out = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+        for ev in sorted(buckets, reverse=True):
+            arr_layout = buckets[ev][l2n[str(ev)]]
+            cf = cfft.interpolate(arr_layout.T)
+            out = m31_add(out, cfft.extend_coeffs(cf, comp_log))
+        return out
+
+    key = ("stark.composition", _plan_sig(components, log_sizes,
+                                          relations, 0))
+    return aot_call(key, body, coeffs, n2l, l2n, invv, claimed_stack,
+                    jnp.asarray(np.asarray(alpha, np.uint32)),
+                    shift_pows, _relations_flat(relations), params_all)
+
+
 def _relation_widths(infos):
     widths = {}
     for info in infos:
@@ -325,25 +513,14 @@ def prove(components, log_sizes, main_traces, channel,
     # -- relations + tree 2: interaction ---------------------------------
     with scope("interaction"):
         relations = draw_relations(channel, _relation_widths(infos))
-        inter_qm31 = []      # per component: list of (M, 4) arrays
-        claimed_sums = []
-        for c, comp in enumerate(components):
-            # natural-order rows straight from the committed device
-            # copies: the main trace is never transferred twice
-            main_idx = [plan.metas[i].ridx for i in plan.by_role["main"]
-                        if plan.metas[i].comp == c]
-            main_nat = (rc_main.natural_rows(main_idx)[0] if main_idx
-                        else None)
-            pre_idx = [plan.metas[i].ridx for i in plan.by_role["pre"]
-                       if plan.metas[i].comp == c]
-            pre_nat = (rc_pre.natural_rows(pre_idx)[0] if pre_idx
-                       else None)
-            cols, claimed = generate_interaction(
-                comp, main_nat, pre_nat, relations, log_sizes[c])
-            inter_qm31.append(cols)
-            claimed_sums.append(claimed)
-        # sync AFTER dispatching every component: executions pipeline
-        claimed_sums = [np.asarray(cs, np.uint64) for cs in claimed_sums]
+        inter_qm31, claimed_stack = _interactions_fused(
+            components, infos, plan, log_sizes, relations, rc_pre,
+            rc_main)
+        inter_qm31 = [([] if cols is None else cols)
+                      for cols in inter_qm31]
+        # ONE host sync for every component's claimed sum
+        claimed_sums = [np.asarray(cs, np.uint64)
+                        for cs in np.asarray(claimed_stack)]
         channel.mix_felts(np.stack(claimed_sums).astype(np.uint32)
                           if claimed_sums else np.zeros((0, 4),
                                                         np.uint32))
@@ -373,57 +550,65 @@ def prove(components, log_sizes, main_traces, channel,
     _selftest = bool(_os.environ.get("NZT_PROVE_SELFTEST"))
     comp_accs_dbg = {}
     alpha = np.asarray(channel.draw_felt(), np.uint64)
-    shifts = _alpha_shifts(infos)
-    buckets = {}
+    comp_log = plan.n_comp_trace_log
     _comp_scope = scope("composition")
     _comp_scope.__enter__()
-    for c, comp in enumerate(components):
-        n = log_sizes[c]
-        ev_log = n + 2
-        main_evals = rc_main.evals_natural_matrix(
-            [plan.metas[i].ridx for i in plan.by_role["main"]
-             if plan.metas[i].comp == c], ev_log)
-        pre_evals = rc_pre.evals_natural_matrix(
-            [plan.metas[i].ridx for i in plan.by_role["pre"]
-             if plan.metas[i].comp == c], ev_log)
-        isf_idx = plan.index[("pre", -1,
-                              ("is_first", plan.pre_sizes.index(n)))]
-        isf_evals = rc_pre.evals_natural(plan.metas[isf_idx].ridx, ev_log)
-        if infos[c].n_logup_cols:
-            inter_flat = rc_inter.evals_natural_matrix(
-                [plan.metas[plan.index[("inter", c, (b, t))]].ridx
-                 for b in range(infos[c].n_logup_cols)
-                 for t in range(4)], ev_log)            # (4B, M)
-            inter_evals = jnp.transpose(
-                inter_flat.reshape(infos[c].n_logup_cols, 4, -1),
-                (0, 2, 1))                              # (B, M, 4)
-        else:
-            inter_evals = []
-        with scope(f"c:eval:{comp.name}"):
-            acc, k = run_constraints_domain(
-                comp, main_evals, pre_evals, inter_evals, isf_evals,
-                relations, claimed_sums[c], alpha)
-        assert k == infos[c].n_constraints
-        if _selftest:
+    rcs3 = {"pre": rc_pre, "main": rc_main, "inter": rc_inter}
+    if not _selftest:
+        comp_coeffs = _composition_coeffs_fused(
+            components, infos, plan, log_sizes, relations, claimed_sums,
+            alpha, rcs3)
+    else:
+        # reference path: per-component programs + eager combination —
+        # keeps every component's domain accumulator observable for the
+        # self-test cross-checks
+        shifts = _alpha_shifts(infos)
+        buckets = {}
+        for c, comp in enumerate(components):
+            n = log_sizes[c]
+            ev_log = n + 2
+            main_evals = rc_main.evals_natural_matrix(
+                [plan.metas[i].ridx for i in plan.by_role["main"]
+                 if plan.metas[i].comp == c], ev_log)
+            pre_evals = rc_pre.evals_natural_matrix(
+                [plan.metas[i].ridx for i in plan.by_role["pre"]
+                 if plan.metas[i].comp == c], ev_log)
+            isf_idx = plan.index[("pre", -1,
+                                  ("is_first", plan.pre_sizes.index(n)))]
+            isf_evals = rc_pre.evals_natural(plan.metas[isf_idx].ridx,
+                                             ev_log)
+            if infos[c].n_logup_cols:
+                inter_flat = rc_inter.evals_natural_matrix(
+                    [plan.metas[plan.index[("inter", c, (b, t))]].ridx
+                     for b in range(infos[c].n_logup_cols)
+                     for t in range(4)], ev_log)            # (4B, M)
+                inter_evals = jnp.transpose(
+                    inter_flat.reshape(infos[c].n_logup_cols, 4, -1),
+                    (0, 2, 1))                              # (B, M, 4)
+            else:
+                inter_evals = []
+            with scope(f"c:eval:{comp.name}"):
+                acc, k = run_constraints_domain(
+                    comp, main_evals, pre_evals, inter_evals, isf_evals,
+                    relations, claimed_sums[c], alpha)
+            assert k == infos[c].n_constraints
             comp_accs_dbg[c] = (None if acc is None
                                 else np.asarray(acc, np.uint64))
-        if acc is None:
-            continue
-        contrib = qm31_mul_m31(acc, inv_vanishing_natural(n, ev_log))
-        shift = np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
-        contrib = qm31_mul(jnp.asarray(shift), contrib)
-        if ev_log in buckets:
-            buckets[ev_log] = m31_add(buckets[ev_log], contrib)
-        else:
-            buckets[ev_log] = contrib
-
-    comp_log = plan.n_comp_trace_log
-    comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
-    for ev_log, arr in sorted(buckets.items(), reverse=True):
-        arr_layout = arr[jnp.asarray(layout_to_natural(ev_log))]
-        cf = cfft.interpolate(arr_layout.T)          # (4, 2^ev_log)
-        cf = cfft.extend_coeffs(cf, comp_log)
-        comp_coeffs = m31_add(comp_coeffs, cf)
+            if acc is None:
+                continue
+            contrib = qm31_mul_m31(acc, inv_vanishing_natural(n, ev_log))
+            shift = np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
+            contrib = qm31_mul(jnp.asarray(shift), contrib)
+            if ev_log in buckets:
+                buckets[ev_log] = m31_add(buckets[ev_log], contrib)
+            else:
+                buckets[ev_log] = contrib
+        comp_coeffs = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+        for ev_log, arr in sorted(buckets.items(), reverse=True):
+            arr_layout = arr[jnp.asarray(layout_to_natural(ev_log))]
+            cf = cfft.interpolate(arr_layout.T)          # (4, 2^ev_log)
+            cf = cfft.extend_coeffs(cf, comp_log)
+            comp_coeffs = m31_add(comp_coeffs, cf)
     rc_comp = pcs.commit_from_coeffs(
         "comp", [comp_coeffs[t] for t in range(4)], [comp_log] * 4, blowup)
     rc_comp.mix_roots(channel)

@@ -116,6 +116,19 @@ def aot_call(site_key, fn, *args):
         exp = _load_or_export(key, fn, args)
         with _lock:
             _mem[key] = exp
+        if jax.default_backend() == "cpu":
+            # jaxlib SEGFAULTS serializing an XLA:CPU executable that
+            # was compiled from a deserialized exported program into
+            # the persistent compile cache (AOT/portable pipeline) —
+            # and such entries carry foreign machine-feature flags that
+            # poison later processes.  Compile exported programs with
+            # cache writes off; XLA:CPU compiles are fast locally.
+            on = jax.config.jax_enable_compilation_cache
+            try:
+                jax.config.update("jax_enable_compilation_cache", False)
+                return exp.call(*args)
+            finally:
+                jax.config.update("jax_enable_compilation_cache", on)
     return exp.call(*args)
 
 

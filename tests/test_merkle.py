@@ -84,3 +84,25 @@ def test_single_column_single_leaf():
     tree = merkle.commit([col])
     dec = merkle.decommit(tree, [0])
     assert merkle.verify_decommitment(tree.root(), [1], [0], dec)
+
+
+def test_fused_lde_commit_matches_split_path(monkeypatch):
+    """pcs._fused_lde_commit (one program: LDE + bit-rev + every Merkle
+    layer; the TPU default) must produce the identical tree to the
+    split CPU path."""
+    from nexus_zkvm_tpu.prover import pcs
+
+    rng = np.random.default_rng(7)
+    cols = rng.integers(0, P, size=(5, 1 << 6), dtype=np.uint32)
+    monkeypatch.setenv("NZT_FUSE_COMMIT", "0")
+    rc_split = pcs.commit_columns("t", list(cols), [6] * 5, 2)
+    monkeypatch.setenv("NZT_FUSE_COMMIT", "1")
+    rc_fused = pcs.commit_columns("t", list(cols), [6] * 5, 2)
+    for (s1, a), (s2, b) in zip(rc_split.roots(), rc_fused.roots()):
+        assert s1 == s2 and (np.asarray(a) == np.asarray(b)).all()
+    for s in rc_split.evals:
+        assert (np.asarray(rc_split.evals[s])
+                == np.asarray(rc_fused.evals[s])).all()
+        for d in range(len(rc_split.trees[s].layers)):
+            assert (np.asarray(rc_split.trees[s].layers[d])
+                    == np.asarray(rc_fused.trees[s].layers[d])).all()
