@@ -620,3 +620,151 @@ def run_constraints_domain(component, main_evals, pre_evals, inter_evals,
                    jnp.asarray(np.asarray(alpha, np.uint32)),
                    _params_flat(component))
     return acc, _n_constraints_of(component)
+
+
+class ChunkedDomainEvalContext(DomainEvalContext):
+    """Row-chunked composition evaluation for trace sizes whose 4x
+    domain does not fit HBM next to the committed evals.
+
+    Columns arrive halo-extended: ext position p holds natural row
+    (p - halo_neg) mod M, so every mask offset in [-halo_neg/EXTRA,
+    +halo_pos/EXTRA] is a static-length ``lax.dynamic_slice`` — no
+    wraparound logic inside the scanned chunk body, and peak live
+    memory is one chunk (plus the shared inputs), not the 4x domain.
+
+    ``main_chunks`` / ``inter_chunks`` are lists of row-blocks (the
+    LDE step emits blocks to bound ITS memory too); row lookup across
+    blocks is static Python at trace time.
+    """
+
+    def __init__(self, main_chunks, pre_ext, inter_chunks, isf_ext,
+                 start, L, halo_neg, relations, claimed, alpha,
+                 params=None):
+        _BaseCtx.__init__(self, relations=relations, claimed=claimed,
+                          params=params)
+        self._mchunks = []           # [(row0, (Cj, M+H))]
+        r0 = 0
+        for a in (main_chunks or []):
+            self._mchunks.append((r0, a))
+            r0 += a.shape[0]
+        self._ichunks = []           # [(b0, (Bj, M+H, 4))]
+        b0 = 0
+        for a in (inter_chunks or []):
+            self._ichunks.append((b0, a))
+            b0 += a.shape[0]
+        self._pre_ext = pre_ext      # (P, M+H) or None
+        self._isf_ext = isf_ext      # (M+H,)
+        self._start = start          # traced scalar: chunk row offset
+        self._L = int(L)
+        self._hneg = int(halo_neg)
+        self.alpha = Felt.qconst(alpha, JNP)
+        self._collected = []
+
+    # -- slicing ------------------------------------------------------
+    def _begin(self, off: int):
+        return self._start + jnp.int32(self._hneg + off * self.EXTRA)
+
+    def _slice1(self, v, off):
+        return jax.lax.dynamic_slice(v, (self._begin(off),), (self._L,))
+
+    def _slice_rows(self, m, off):
+        return jax.lax.dynamic_slice(
+            m, (jnp.int32(0), self._begin(off)), (m.shape[0], self._L))
+
+    def _slice_q(self, v, off):
+        return jax.lax.dynamic_slice(
+            v, (self._begin(off), jnp.int32(0)), (self._L, 4))
+
+    @staticmethod
+    def _find(chunks, i):
+        for r0, a in chunks:
+            if r0 <= i < r0 + a.shape[0]:
+                return a, i - r0
+        raise IndexError(i)
+
+    # -- accessors ----------------------------------------------------
+    def main(self, i, off=0):
+        a, j = self._find(self._mchunks, i)
+        return Felt(self._slice1(a[j], off), "m31", JNP)
+
+    def main_block(self, lo: int, hi: int, off: int = 0) -> Felt:
+        parts, i = [], lo
+        while i < hi:
+            a, j = self._find(self._mchunks, i)
+            take = min(hi - i, a.shape[0] - j)
+            parts.append(self._slice_rows(a[j:j + take], off))
+            i += take
+        c = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        return Felt(c, "m31", JNP)
+
+    def pre(self, j, off=0):
+        return Felt(self._slice1(self._pre_ext[j], off), "m31", JNP)
+
+    def inter(self, b, off=0):
+        a, j = self._find(self._ichunks, b)
+        return Felt(self._slice_q(a[j], off), "qm31", JNP)
+
+    @property
+    def is_first(self):
+        return Felt(self._slice1(self._isf_ext, 0), "m31", JNP)
+
+
+def domain_halo(info) -> tuple:
+    """(halo_neg, halo_pos) ext columns needed by a component's masks
+    (+ the LogUp finalize's inter(b, -1) read)."""
+    offs = {0, -1 if info.n_logup_cols else 0}
+    for m in (info.masks_main, info.masks_pre, info.masks_inter):
+        for offsets in m.values():
+            offs.update(offsets)
+    extra = DomainEvalContext.EXTRA
+    return (extra * max(0, -min(offs)), extra * max(0, max(offs)))
+
+
+def run_constraints_domain_chunked(component, main_chunks, pre_ext,
+                                   inter_chunks, isf_ext, relations,
+                                   claimed, alpha, invv_nat, shift_pow,
+                                   n_chunks: int, halo):
+    """Composition contribution of one component, scan-chunked.
+
+    Inputs are halo-extended natural-order eval arrays (device); the
+    whole evaluation runs as ONE stored AOT program whose scanned body
+    touches one 2^ev/n_chunks-row chunk at a time.  Returns the (M, 4)
+    natural-order contribution  shift * acc / v_n.
+    """
+    from ..utils.progstore import aot_call
+    halo_neg, halo_pos = halo
+    key = ("domscan", component.jit_key(), _relations_key(relations),
+           n_chunks, halo_neg, halo_pos)
+
+    def raw(main_chunks, pre_ext, inter_chunks, isf_ext, rel_flat,
+            claimed_, alpha_, invv_nat, shift_pow, params):
+        rels = _relations_unflat(rel_flat)
+        M = isf_ext.shape[-1] - halo_neg - halo_pos
+        L = M // n_chunks
+        assert L * n_chunks == M
+
+        def body(_, start):
+            ctx = ChunkedDomainEvalContext(
+                main_chunks, pre_ext, inter_chunks, isf_ext, start, L,
+                halo_neg, rels, claimed_, alpha_, params=params)
+            component.evaluate(ctx)
+            _finalize_logup(ctx)
+            ctx.finalize_acc()
+            acc = (jnp.zeros((L, 4), jnp.uint32) if ctx.acc is None
+                   else ctx.acc.as_qm31().v)
+            iv = jax.lax.dynamic_slice(invv_nat, (start,), (L,))
+            contrib = F.qm31_mul_m31(acc, iv)
+            return 0, F.qm31_mul(jnp.broadcast_to(shift_pow,
+                                                  contrib.shape), contrib)
+
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * L
+        _, ys = jax.lax.scan(body, 0, starts)
+        return ys.reshape(M, 4)
+
+    return aot_call(key, raw, main_chunks, pre_ext, inter_chunks,
+                    isf_ext, _relations_flat(relations),
+                    jnp.asarray(np.asarray(claimed, np.uint32)),
+                    jnp.asarray(np.asarray(alpha, np.uint32)),
+                    invv_nat,
+                    jnp.asarray(np.asarray(shift_pow, np.uint32)),
+                    _params_flat(component))

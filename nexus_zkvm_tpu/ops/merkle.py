@@ -330,3 +330,95 @@ def verify_decommitment(root, column_lengths, queries,
         cur = full
         pos = new_pos
     return False
+
+
+class PendingPaddedDecommitment(PendingDecommitment):
+    """Fused-opening variant: gathers arrive padded to fixed shapes
+    (stable stored-program keys across proofs); finalize slices the
+    padding off with the host-known true counts."""
+
+    def __init__(self, vals_dev, sib_rows, n_pos: int, sib_counts):
+        super().__init__(vals_dev, [], sib_rows)
+        self._n_pos = n_pos
+        self._sib_counts = list(sib_counts)
+
+    def finalize(self, fetched=None) -> "MerkleDecommitment":
+        if fetched is None:
+            import jax
+            fetched = jax.device_get(self.device_arrays())
+        fetched = list(fetched)
+        out = MerkleDecommitment()
+        vals = np.asarray(fetched.pop(0))[:, : self._n_pos]
+        out.column_values.extend(vals[c] for c in range(vals.shape[0]))
+        for cnt in self._sib_counts:
+            rows = np.asarray(fetched.pop(0))
+            for r in rows[:cnt]:
+                out.sibling_hashes.append(r)
+        return out
+
+
+def _pad_idx(lst, n: int) -> np.ndarray:
+    assert len(lst) <= n, (len(lst), n)
+    out = np.zeros(n, np.int32)
+    out[: len(lst)] = lst
+    return out
+
+
+def open_plan(max_depth: int, positions):
+    """Host-side opening plan: per depth (bottom-up) the sibling
+    positions in the exact order `verify_decommitment` consumes them."""
+    sib_positions = []
+    pos = positions
+    for _d in range(max_depth, 0, -1):
+        ps = set(pos)
+        sib_positions.append([p ^ 1 for p in pos if (p ^ 1) not in ps])
+        pos = sorted({p >> 1 for p in pos})
+    return sib_positions
+
+
+def decommit_many_fused(items, pad_q: int):
+    """Open MANY matrix trees with ONE stored device program.
+
+    items: [(MerkleTree, positions[, max_pos])] — every gather (column
+    values + sibling digests of every layer of every tree) runs in a
+    single dispatch with host-precomputed, padding-stabilized index
+    arrays (shapes keyed only by (C, depth, max_pos) per tree, so
+    repeat proofs reuse the artifact).  ``max_pos`` defaults to
+    ``2*pad_q`` ({p, p^1} pair openings); coset openings (FRI arity
+    blocks) pass ``pad_q << k``.  Returns PendingPaddedDecommitments;
+    finalize with `finalize_decommitments` (one transfer total).
+    """
+    from ..utils.progstore import aot_call
+
+    specs, flat_args, metas = [], [], []
+    for item in items:
+        tree, positions = item[0], item[1]
+        max_pos = item[2] if len(item) > 2 else 2 * pad_q
+        assert tree.matrix is not None, "fused openings need matrix trees"
+        positions = sorted(set(int(p) for p in positions))
+        d0 = tree.max_depth
+        npos_pad = min(max_pos, 1 << d0)
+        sib_positions = open_plan(d0, positions)
+        sib_pads = [min(max_pos, 1 << d) for d in range(d0, 0, -1)]
+        metas.append((len(positions), [len(s) for s in sib_positions]))
+        specs.append((int(tree.matrix.shape[0]), d0, npos_pad,
+                      tuple(sib_pads)))
+        flat_args.append((
+            tree.matrix,
+            [tree.layers[d] for d in range(d0, 0, -1)],
+            jnp.asarray(_pad_idx(positions, npos_pad)),
+            [jnp.asarray(_pad_idx(s, sp))
+             for s, sp in zip(sib_positions, sib_pads)],
+        ))
+
+    def body(flat):
+        outs = []
+        for matrix, layers, pos_idx, sib_idxs in flat:
+            outs.append((matrix[:, pos_idx],
+                         [lay[si] for lay, si in zip(layers, sib_idxs)]))
+        return outs
+
+    outs = aot_call(("merkle.open_many", tuple(specs)), body, flat_args)
+    return [PendingPaddedDecommitment(vals, sibs, metas[i][0],
+                                      metas[i][1])
+            for i, (vals, sibs) in enumerate(outs)]

@@ -169,17 +169,81 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
 
 
 def _ship(batch: np.ndarray):
-    """Host (C, M) uint32 -> device uint32, transferred at the smallest
-    dtype that holds the data (most trace columns are bytes/flags;
-    over a thin host<->device link this is a 2-4x transfer win)."""
-    hi = int(batch.max()) if batch.size else 0
-    if hi < (1 << 8):
-        small = batch.astype(np.uint8)
-    elif hi < (1 << 16):
-        small = batch.astype(np.uint16)
-    else:
-        small = batch
-    return jnp.asarray(small).astype(jnp.uint32)
+    """Host (C, M) uint32 -> device uint32 across a ~25 MB/s tunnel.
+
+    Remote backends get width-bucketed bit packing (`_ship_packed`,
+    ~10x fewer bytes than uint32 for machine traces: flags are 1 bit,
+    byte limbs 8); the local CPU backend skips the packing work."""
+    import jax
+    import os
+    force = os.environ.get("NZT_PACK_SHIP")
+    if force == "0" or (force != "1" and
+                        jax.default_backend() == "cpu"):
+        hi = int(batch.max()) if batch.size else 0
+        if hi < (1 << 8):
+            small = batch.astype(np.uint8)
+        elif hi < (1 << 16):
+            small = batch.astype(np.uint16)
+        else:
+            small = batch
+        return jnp.asarray(small).astype(jnp.uint32)
+    return _ship_packed(batch)
+
+
+_PACK_WIDTHS = (1, 2, 4, 8, 16, 32)
+
+
+def _ship_packed(batch: np.ndarray):
+    """Bit-packed host->device transfer: columns are bucketed by bit
+    width (1/2/4/8/16/32), each bucket packs 32/w values per uint32
+    word along the row axis, and ONE device program unpacks + restores
+    caller row order.  Value-exact with a plain uint32 transfer."""
+    from ..utils.progstore import aot_call
+    batch = np.ascontiguousarray(np.asarray(batch, np.uint32))
+    C, M = batch.shape
+    if C == 0 or M < 32:
+        return jnp.asarray(batch)
+    col_w = []
+    for i in range(C):
+        w = max(1, int(batch[i].max()).bit_length())
+        col_w.append(next(b for b in _PACK_WIDTHS if w <= b))
+    packed, order = {}, []
+    for w in _PACK_WIDTHS:
+        idxs = [i for i in range(C) if col_w[i] == w]
+        if not idxs:
+            continue
+        sub = batch[idxs]
+        order.extend(idxs)
+        if w == 32:
+            packed[str(w)] = jnp.asarray(sub)
+        else:
+            k = 32 // w
+            v = sub.reshape(len(idxs), M // k, k)
+            out = np.zeros((len(idxs), M // k), np.uint32)
+            for j in range(k):
+                out |= v[:, :, j] << np.uint32(w * j)
+            packed[str(w)] = jnp.asarray(out)
+    perm = np.empty(C, np.int32)
+    perm[np.asarray(order, np.int32)] = np.arange(C, dtype=np.int32)
+
+    def unpack(packed, perm):
+        outs = []
+        for w in _PACK_WIDTHS:
+            if str(w) not in packed:
+                continue
+            p = packed[str(w)]
+            if w == 32:
+                outs.append(p)
+                continue
+            k = 32 // w
+            sh = (jnp.uint32(w) *
+                  jnp.arange(k, dtype=jnp.uint32))[None, None, :]
+            x = (p[:, :, None] >> sh) & jnp.uint32((1 << w) - 1)
+            outs.append(x.reshape(p.shape[0], -1))
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+        return out[perm]
+
+    return aot_call("pcs.unpack", unpack, packed, jnp.asarray(perm))
 
 
 def commit_columns(role: str, columns, trace_logs, log_blowup: int,

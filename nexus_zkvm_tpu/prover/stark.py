@@ -179,6 +179,35 @@ def _oods_dot(cols, basis):
     return aot_call("stark.oods_dot", _oods_dot_body, cols, basis)
 
 
+def _oods_basis_factors(tlog: int, point) -> np.ndarray:
+    """(tlog, 4) uint32 kron factors of the point basis (slowest-first:
+    reversed pi-iterates of x, then y) — the basis itself is built ON
+    DEVICE from these, so no (2^n, 4) host compute / transfer."""
+    assert tlog >= 2
+    x, y = (np.asarray(v, np.uint64) for v in point)
+    two, one = np_qm31(np.uint64(2)), np_qm31(np.uint64(1))
+    xs = [x]
+    for _ in range(tlog - 2):
+        t = xs[-1]
+        xs.append(np_qm31_sub(np_qm31_mul(two, np_qm31_mul(t, t)), one))
+    fs = list(reversed(xs)) + [y]
+    return np.stack(fs).astype(np.uint32)
+
+
+def _oods_dot_factored(cols, factors):
+    """OODS sampling program: expand the kron basis on device from the
+    (tlog, 4) factors, then dot with every coefficient row."""
+    from ..utils.progstore import aot_call
+
+    def body(cols, factors):
+        basis = jnp.zeros((1, 4), jnp.uint32).at[0, 0].set(1)
+        for i in range(factors.shape[0]):
+            basis = jnp.concatenate([basis, qm31_mul(factors[i], basis)])
+        return _oods_dot_body(cols, basis)
+
+    return aot_call("stark.oods_dot_f", body, cols, factors)
+
+
 _INV_VANISH_CACHE = {}
 
 
@@ -286,8 +315,21 @@ def _interactions_fused(components, infos, plan, log_sizes, relations,
                     params_all)
 
 
+def _composition_group_buckets(components, infos, plan, log_sizes,
+                               relations, claimed_sums, alpha, rcs,
+                               subset):
+    """Subset variant of `_composition_coeffs_fused`: one stored AOT
+    program over the given component indices, returning the summed
+    {str(ev): (2^ev, 4) natural-order contribution} buckets instead of
+    final coefficients (they join `_composition_combine`)."""
+    return _composition_coeffs_fused(
+        components, infos, plan, log_sizes, relations, claimed_sums,
+        alpha, rcs, subset=subset, return_buckets=True)
+
+
 def _composition_coeffs_fused(components, infos, plan, log_sizes,
-                              relations, claimed_sums, alpha, rcs):
+                              relations, claimed_sums, alpha, rcs,
+                              subset=None, return_buckets=False):
     """The whole composition phase as ONE stored AOT program.
 
     Per component: LDE its committed coefficient rows to the 4x eval
@@ -305,6 +347,7 @@ def _composition_coeffs_fused(components, infos, plan, log_sizes,
 
     comp_log = plan.n_comp_trace_log
     nc = len(components)
+    comps_iter = list(range(nc)) if subset is None else list(subset)
     # ---- static (plan-derived) row selections per component ----------
     sel = []           # per comp: dict role -> np row-index array | None
     for c in range(nc):
@@ -339,12 +382,12 @@ def _composition_coeffs_fused(components, infos, plan, log_sizes,
     coeffs = {role: {str(n): rcs[role].coeff_batches[n][1]
                      for n in rcs[role].coeff_batches}
               for role in ("pre", "main", "inter") if rcs[role] is not None}
-    ev_logs = sorted({log_sizes[c] + 2 for c in range(nc)}, reverse=True)
+    ev_logs = sorted({log_sizes[c] + 2 for c in comps_iter}, reverse=True)
     n2l = {str(ev): jnp.asarray(natural_to_layout(ev)) for ev in ev_logs}
     l2n = {str(ev): jnp.asarray(layout_to_natural(ev)) for ev in ev_logs}
     invv = {str(log_sizes[c]): inv_vanishing_natural(log_sizes[c],
                                                      log_sizes[c] + 2)
-            for c in range(nc)}
+            for c in comps_iter}
     shifts = _alpha_shifts(infos)
     shift_pows = np.stack([np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
                            for c in range(nc)])
@@ -356,7 +399,8 @@ def _composition_coeffs_fused(components, infos, plan, log_sizes,
              rel_flat, params_all):
         rels = _relations_unflat(rel_flat)
         buckets = {}
-        for c, comp in enumerate(components):
+        for c in comps_iter:
+            comp = components[c]
             n = log_sizes[c]
             ev = n + 2
 
@@ -389,6 +433,8 @@ def _composition_coeffs_fused(components, infos, plan, log_sizes,
                                                 contrib.shape), contrib)
             buckets[ev] = (contrib if ev not in buckets
                            else m31_add(buckets[ev], contrib))
+        if return_buckets:
+            return {str(ev): arr for ev, arr in buckets.items()}
         out = jnp.zeros((4, 1 << comp_log), jnp.uint32)
         for ev in sorted(buckets, reverse=True):
             arr_layout = buckets[ev][l2n[str(ev)]]
@@ -397,10 +443,145 @@ def _composition_coeffs_fused(components, infos, plan, log_sizes,
         return out
 
     key = ("stark.composition", _plan_sig(components, log_sizes,
-                                          relations, 0))
+                                          relations, 0),
+           tuple(comps_iter) if subset is not None else None,
+           return_buckets)
     return aot_call(key, body, coeffs, n2l, l2n, invv, claimed_stack,
                     jnp.asarray(np.asarray(alpha, np.uint32)),
                     shift_pows, _relations_flat(relations), params_all)
+
+
+def _lde_nat_ext(rc, ridxs, ev_log: int, halo, qm31: bool = False,
+                 max_bytes: int = 1 << 30):
+    """Natural-order eval blocks with wraparound halo columns.
+
+    Returns a list of device blocks — (Rj, 2^ev + H) M31 rows, or
+    (Bj, 2^ev + H, 4) QM31 groups when ``qm31`` — computed row-chunked
+    so no single LDE program's working set exceeds ~3*max_bytes.  The
+    halo lets the chunked composition scan read mask offsets with plain
+    dynamic slices (ext position p = natural row (p - hneg) mod M)."""
+    import functools
+    from ..utils.progstore import aot_call
+    hneg, hpos = halo
+    nat = natural_to_layout(ev_log)
+    idx = np.concatenate([nat[-hneg:] if hneg else nat[:0], nat,
+                          nat[:hpos]])
+    cols, _n = rc.coeff_rows(ridxs)
+    C = int(cols.shape[0])
+    rows_per = max(1, int(max_bytes) // ((1 << ev_log) * 4))
+    if qm31:
+        rows_per = max(4, rows_per & ~3)
+
+    def body_m31(chunk, idx):
+        return cfft.evaluate(chunk, ev_log)[:, idx]
+
+    def body_qm31(chunk, idx):
+        e = cfft.evaluate(chunk, ev_log)[:, idx]
+        return jnp.transpose(e.reshape(-1, 4, e.shape[-1]), (0, 2, 1))
+
+    body = body_qm31 if qm31 else body_m31
+    out = []
+    for lo in range(0, C, rows_per):
+        out.append(aot_call(("stark.lde_nat_ext", ev_log, hneg, hpos,
+                             qm31), body, cols[lo:lo + rows_per],
+                            jnp.asarray(idx)))
+    return out
+
+
+def _composition_big_one(c, components, infos, plan, log_sizes,
+                         relations, claimed_sums, alpha, shift_pow,
+                         rcs):
+    """One large component's composition contribution, memory-bounded:
+    column-chunked LDE to halo-extended natural order, then a
+    scan-chunked constraint evaluation (see
+    `air.component.run_constraints_domain_chunked`).  Returns the
+    (2^ev, 4) natural-order contribution."""
+    import os
+    from ..air.component import (domain_halo,
+                                 run_constraints_domain_chunked)
+    comp, info, n = components[c], infos[c], log_sizes[c]
+    ev = n + 2
+    halo = domain_halo(info)
+    main_ridxs = [plan.metas[i].ridx for i in plan.by_role["main"]
+                  if plan.metas[i].comp == c]
+    pre_ridxs = [plan.metas[i].ridx for i in plan.by_role["pre"]
+                 if plan.metas[i].comp == c]
+    inter_ridxs = [plan.metas[plan.index[("inter", c, (b, t))]].ridx
+                   for b in range(info.n_logup_cols) for t in range(4)]
+    isf_ridx = plan.metas[plan.index[
+        ("pre", -1, ("is_first", plan.pre_sizes.index(n)))]].ridx
+
+    main_chunks = _lde_nat_ext(rcs["main"], main_ridxs, ev, halo)
+    pre_ext = (_lde_nat_ext(rcs["pre"], pre_ridxs, ev, halo)
+               if pre_ridxs else None)
+    if pre_ext is not None:
+        pre_ext = (pre_ext[0] if len(pre_ext) == 1
+                   else jnp.concatenate(pre_ext))
+    inter_chunks = (_lde_nat_ext(rcs["inter"], inter_ridxs, ev, halo,
+                                 qm31=True) if inter_ridxs else None)
+    isf_ext = _lde_nat_ext(rcs["pre"], [isf_ridx], ev, halo)[0][0]
+
+    chunk_log = int(os.environ.get("NZT_COMP_CHUNK_LOG", "17"))
+    n_chunks = max(1, (1 << ev) >> chunk_log)
+    return run_constraints_domain_chunked(
+        comp, main_chunks, pre_ext, inter_chunks, isf_ext, relations,
+        claimed_sums[c], alpha, inv_vanishing_natural(n, ev), shift_pow,
+        n_chunks, halo)
+
+
+def _composition_combine(buckets: dict, comp_log: int):
+    """Sum per-size natural-order contributions and interpolate into
+    the composition basis — one stored AOT program."""
+    from ..utils.progstore import aot_call
+    evs = sorted(buckets, reverse=True)
+    l2n = {str(ev): jnp.asarray(layout_to_natural(ev)) for ev in evs}
+
+    def raw(bl, l2n):
+        out = jnp.zeros((4, 1 << comp_log), jnp.uint32)
+        for ev in evs:
+            arrs = bl[str(ev)]
+            s = arrs[0]
+            for a in arrs[1:]:
+                s = m31_add(s, a)
+            cf = cfft.interpolate(s[l2n[str(ev)]].T)
+            out = m31_add(out, cfft.extend_coeffs(cf, comp_log))
+        return out
+
+    key = ("stark.comp_combine", comp_log,
+           tuple((ev, len(buckets[ev])) for ev in evs))
+    return aot_call(key, raw, {str(ev): buckets[ev] for ev in evs}, l2n)
+
+
+def _composition_coeffs(components, infos, plan, log_sizes, relations,
+                        claimed_sums, alpha, rcs3):
+    """Composition dispatcher: one fused program when every component
+    is small; large components (4x domain >= 2^NZT_COMP_SPLIT_EV) run
+    individually memory-bounded and join through a combine program."""
+    import os
+    split_ev = int(os.environ.get("NZT_COMP_SPLIT_EV", "21"))
+    nc = len(components)
+    big = [c for c in range(nc) if log_sizes[c] + 2 >= split_ev]
+    if not big:
+        return _composition_coeffs_fused(
+            components, infos, plan, log_sizes, relations, claimed_sums,
+            alpha, rcs3)
+    small = [c for c in range(nc) if c not in big]
+    shifts = _alpha_shifts(infos)
+    shift_pows = [np_qm31_pow(alpha, shifts[c]).astype(np.uint32)
+                  for c in range(nc)]
+    buckets = {}
+    if small:
+        parts = _composition_group_buckets(
+            components, infos, plan, log_sizes, relations, claimed_sums,
+            alpha, rcs3, small)
+        for ev_s, arr in parts.items():
+            buckets.setdefault(int(ev_s), []).append(arr)
+    for c in big:
+        arr = _composition_big_one(c, components, infos, plan,
+                                   log_sizes, relations, claimed_sums,
+                                   alpha, shift_pows[c], rcs3)
+        buckets.setdefault(log_sizes[c] + 2, []).append(arr)
+    return _composition_combine(buckets, plan.n_comp_trace_log)
 
 
 def _relation_widths(infos):
@@ -555,7 +736,7 @@ def prove(components, log_sizes, main_traces, channel,
     _comp_scope.__enter__()
     rcs3 = {"pre": rc_pre, "main": rc_main, "inter": rc_inter}
     if not _selftest:
-        comp_coeffs = _composition_coeffs_fused(
+        comp_coeffs = _composition_coeffs(
             components, infos, plan, log_sizes, relations, claimed_sums,
             alpha, rcs3)
     else:
@@ -633,11 +814,12 @@ def prove(components, log_sizes, main_traces, channel,
     for (role, tlog, off), members in groups.items():
         key = (tlog, off)
         if key not in basis_cache:
-            basis_cache[key] = jnp.asarray(cfft.point_basis(
-                tlog, _point_for(z, tlog, off)).astype(np.uint32))
+            basis_cache[key] = jnp.asarray(_oods_basis_factors(
+                tlog, _point_for(z, tlog, off)))
         cols, _n = rcs[role].coeff_rows(
             [plan.metas[i].ridx for i, _ in members])
-        pending.append((members, _oods_dot(cols, basis_cache[key])))
+        pending.append((members,
+                        _oods_dot_factored(cols, basis_cache[key])))
     fetched = _jax.device_get([d for _, d in pending])
     for (members, _), vals in zip(pending, fetched):
         for (i, oi), v in zip(members, np.asarray(vals, np.uint64)):
@@ -688,26 +870,35 @@ def prove(components, log_sizes, main_traces, channel,
         pow_nonce = channel.grind_pow(config.pow_bits)
     queries = channel.draw_queries(config.fri.n_queries, s0)
     with scope("openings"):
-        # dispatch every role's gathers async, then materialize the
-        # whole opening set with ONE host<->device transfer
-        openings, roots, pend = {}, {}, []
+        # every gather of the whole opening phase (all roles' trees +
+        # the FRI inner layers) runs as ONE stored device program with
+        # padding-stabilized shapes, then ONE host<->device transfer
+        from ..parallel.context import active_mesh
+        openings, roots = {}, {}
+        items, labels = [], []
         for role, rc in rcs.items():
             if rc is None:
                 roots[role] = []
                 openings[role] = []
                 continue
-            pos = {s: pcs.open_positions(queries, s0, s)
-                   for s in rc.sizes_desc()}
-            pend.append((role, rc.open_async(pos)))
             roots[role] = rc.roots()
-        flat = [p for _, items in pend for _s, p in items]
-        final = merkle.finalize_decommitments(flat)
-        k = 0
-        for role, items in pend:
-            openings[role] = [(s, final[k + j])
-                              for j, (s, _p) in enumerate(items)]
-            k += len(items)
-        fri_proof = fri.fri_decommit(fri_state, queries)
+            openings[role] = []
+            for s in rc.sizes_desc():
+                items.append((rc.trees[s],
+                              pcs.open_positions(queries, s0, s)))
+                labels.append((role, s))
+        fri_items = fri.fri_decommit_items(fri_state, queries)
+        if active_mesh() is None:
+            pend_flat = merkle.decommit_many_fused(
+                items + fri_items, config.fri.n_queries)
+        else:
+            pend_flat = [merkle.decommit_async(it[0], it[1])
+                         for it in items + fri_items]
+        final = merkle.finalize_decommitments(pend_flat)
+        for (role, s), d in zip(labels, final[: len(labels)]):
+            openings[role].append((s, d))
+        fri_proof = fri.fri_proof_from_decs(fri_state,
+                                            final[len(labels):])
 
     return Proof(log_sizes=list(log_sizes), roots=roots,
                  claimed_sums=claimed_sums, sampled=sampled,

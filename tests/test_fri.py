@@ -106,3 +106,50 @@ def test_tampered_last_layer_rejected():
     assert not fri.fri_check_queries(proof, alphas, vq,
                                      full_inputs_at(inputs), list(inputs),
                                      cfg)
+
+
+@pytest.mark.parametrize("log_arity", [1, 2, 3, 4])
+def test_arity_variants_accept(log_arity):
+    cfg = fri.FriConfig(log_blowup=1, log_last_layer=0,
+                        log_arity=log_arity)
+    inputs = {
+        9: low_degree_committed_evals(8, 1),
+        7: low_degree_committed_evals(6, 1),
+    }
+    assert run_fri(inputs, cfg)
+
+
+@pytest.mark.parametrize("log_last_layer", [0, 1, 2, 3])
+def test_last_layer_coeff_variants(log_last_layer):
+    cfg = fri.FriConfig(log_blowup=1, log_last_layer=log_last_layer)
+    inputs = {9: low_degree_committed_evals(8, 1)}
+    assert run_fri(inputs, cfg)
+
+
+def test_last_layer_degree_bound_enforced():
+    # a poly of dim 2^L+1 folded to the last layer cannot be expressed
+    # by the 2^L coefficients the proof carries -> queries reject
+    cfg = fri.FriConfig(log_blowup=1, log_last_layer=1)
+    # dim 2^7 input claimed under a config whose last layer only
+    # admits dim 2^(7 - (8-2)) ... build instead: high-ish degree
+    # (dim 2^8 = full rate) input
+    junk = RNG.integers(0, P, size=(1 << 9, 4), dtype=np.uint32)
+    assert not run_fri({9: junk}, cfg)
+
+
+def test_fold_schedule_boundaries():
+    cfg = fri.FriConfig(log_blowup=1, log_last_layer=0, log_arity=3)
+    sched = fri.fold_schedule([12, 10, 4], cfg)
+    # commits at 11 (k=1 -> inject 10 at 10? no: boundary at 9), ...
+    ms = [(b.m, b.k, b.inj) for b in sched]
+    # first commit is always at s0-1; every input s<s0 lands exactly at
+    # the end of some block (inj == s)
+    assert ms[0][0] == 11
+    landed = {b.m - b.k + 1: b.inj for b in sched}
+    assert landed.get(10) == 10 and landed.get(4) == 4
+    # blocks never exceed the arity
+    assert all(1 <= b.k <= cfg.log_arity for b in sched)
+    # chain is contiguous down to the last line layer
+    for a, b in zip(sched, sched[1:]):
+        assert a.m - a.k == b.m
+    assert sched[-1].m - sched[-1].k == cfg.last_line_log

@@ -106,3 +106,24 @@ def test_fused_lde_commit_matches_split_path(monkeypatch):
         for d in range(len(rc_split.trees[s].layers)):
             assert (np.asarray(rc_split.trees[s].layers[d])
                     == np.asarray(rc_fused.trees[s].layers[d])).all()
+
+
+def test_ship_packed_roundtrip():
+    """Bit-packed host->device shipping is value-exact (pcs._ship_packed)."""
+    import numpy as np
+    from nexus_zkvm_tpu.prover.pcs import _ship_packed
+    rng = np.random.default_rng(11)
+    C, M = 23, 1 << 10
+    widths = rng.choice([1, 2, 3, 7, 8, 15, 16, 30], C)
+    batch = np.stack([rng.integers(0, 1 << int(w), M, dtype=np.uint32)
+                      for w in widths])
+    got = np.asarray(_ship_packed(batch))
+    assert got.shape == batch.shape
+    assert np.array_equal(got, batch)
+    # degenerate cases: all-zero, below-pack-threshold width
+    assert np.array_equal(
+        np.asarray(_ship_packed(np.zeros((3, 64), np.uint32))),
+        np.zeros((3, 64)))
+    assert np.array_equal(
+        np.asarray(_ship_packed(np.zeros((2, 16), np.uint32))),
+        np.zeros((2, 16)))
