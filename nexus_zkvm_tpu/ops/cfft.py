@@ -61,6 +61,15 @@ def interpolate(evals, include_scale: bool = True):
                     evals)
 
 
+# Stages whose fold half-length drops below this run in a transposed
+# layout: a (..., chunks, 2, half) view with tiny trailing dims gets
+# (2,128)-tiled on TPU with up to 32x physical padding (a 2GB HLO temp
+# per stage at 2^22); keeping the large axis minor avoids it.  Small
+# transforms skip the transposes (padding there is KBs).
+_SMALL_HALF = 128
+_TRANSPOSE_MIN_LOG = 15
+
+
 def _interpolate(evals, include_scale: bool = True):
     evals = jnp.asarray(evals, jnp.uint32)
     n_size = evals.shape[-1]
@@ -77,13 +86,35 @@ def _interpolate(evals, include_scale: bool = True):
     f1 = m31_mul(m31_sub(a, b), t)
     v = jnp.concatenate([f0, f1], axis=-1).reshape(evals.shape)
     # Stages 2..n: x-folds.
+    j0 = None
     for j in range(2, n + 1):
+        half = 1 << (n - j)
+        if n >= _TRANSPOSE_MIN_LOG and half < _SMALL_HALF:
+            j0 = j
+            break
         s = _stage_split(v, j, n)
         a, b = s[..., 0, :], s[..., 1, :]
         t = jnp.asarray(dom.inv_x_twiddle_stages[j - 2])
         f0 = m31_add(a, b)
         f1 = m31_mul(m31_sub(a, b), t)
         v = jnp.stack([f0, f1], axis=-2).reshape(evals.shape)
+    if j0 is not None:
+        # remaining stages act within contiguous blocks of size S:
+        # transpose once so the big axis stays minor
+        S = 1 << (n - j0 + 1)
+        Q = n_size // S
+        lead = v.shape[:-1]
+        vt = v.reshape(lead + (Q, S)).swapaxes(-1, -2)   # (..., S, Q)
+        for j in range(j0, n + 1):
+            half = 1 << (n - j)
+            chunks_rel = S >> (n - j + 1)
+            s = vt.reshape(lead + (chunks_rel, 2, half, Q))
+            a, b = s[..., 0, :, :], s[..., 1, :, :]
+            t = jnp.asarray(dom.inv_x_twiddle_stages[j - 2])[:, None]
+            f0 = m31_add(a, b)
+            f1 = m31_mul(m31_sub(a, b), t)
+            vt = jnp.stack([f0, f1], axis=-3).reshape(vt.shape)
+        v = vt.swapaxes(-1, -2).reshape(evals.shape)
     if include_scale:
         inv_n = pow(1 << n, P - 2, P)
         v = m31_mul(v, jnp.uint32(inv_n))
@@ -115,7 +146,37 @@ def _evaluate(coeffs, log_size: int | None = None):
     dom = domain(n)
 
     v = coeffs
-    for j in range(n, 1, -1):
+    if n >= _TRANSPOSE_MIN_LOG:
+        # the first evaluate stages have tiny fold halves (see the
+        # interpolate comment): run every stage with half < _SMALL_HALF
+        # inside transposed S-blocks
+        j0 = None
+        for j in range(n, 1, -1):
+            if (1 << (n - j)) >= _SMALL_HALF:
+                break
+            j0 = j
+        if j0 is not None:
+            S = 1 << (n - j0 + 1)
+            Q = (1 << n) // S
+            lead = v.shape[:-1]
+            vt = v.reshape(lead + (Q, S)).swapaxes(-1, -2)
+            for j in range(n, j0 - 1, -1):
+                half = 1 << (n - j)
+                chunks_rel = S >> (n - j + 1)
+                s = vt.reshape(lead + (chunks_rel, 2, half, Q))
+                f0, f1 = s[..., 0, :, :], s[..., 1, :, :]
+                t = jnp.asarray(dom.x_twiddle_stages[j - 2])[:, None]
+                tf1 = m31_mul(t, f1)
+                a = m31_add(f0, tf1)
+                b = m31_sub(f0, tf1)
+                vt = jnp.stack([a, b], axis=-3).reshape(vt.shape)
+            v = vt.swapaxes(-1, -2).reshape(coeffs.shape)
+            n_start = j0 - 1
+        else:
+            n_start = n
+    else:
+        n_start = n
+    for j in range(n_start, 1, -1):
         s = _stage_split(v, j, n)
         f0, f1 = s[..., 0, :], s[..., 1, :]
         t = jnp.asarray(dom.x_twiddle_stages[j - 2])
@@ -133,14 +194,17 @@ def _evaluate(coeffs, log_size: int | None = None):
 
 
 def extend_coeffs(coeffs, log_size: int):
-    """Embed bit-reversed coeffs of a 2^k basis into a 2^log_size basis."""
+    """Embed bit-reversed coeffs of a 2^k basis into a 2^log_size basis.
+
+    Written as a strided 2-D scatter: a 3-D (..., K, stride) zero-fill
+    gets a padded (2,128) physical tiling on TPU when stride is small
+    (32x memory blow-up at scale)."""
     k_size = coeffs.shape[-1]
     stride = (1 << log_size) // k_size
     if stride == 1:
         return coeffs
-    out = jnp.zeros(coeffs.shape[:-1] + (k_size, stride), jnp.uint32)
-    out = out.at[..., 0].set(coeffs)
-    return out.reshape(coeffs.shape[:-1] + (1 << log_size,))
+    out = jnp.zeros(coeffs.shape[:-1] + (1 << log_size,), jnp.uint32)
+    return out.at[..., ::stride].set(coeffs)
 
 
 def lde(evals, log_blowup: int):

@@ -115,18 +115,10 @@ def _accumulate_raw(n_samples: int):
     return raw
 
 
-def accumulate_quotients(log_size: int, columns, samples, gamma,
-                         gamma_offset: int = 0):
-    """Combined quotient evals for one size group, committed order.
-
-    columns: list of (2^log_size,) uint32 M31 eval arrays (committed
-    order); samples: list[PointSample]; gamma: (4,) QM31; the k-th
-    (sample, column) term gets coefficient gamma^(gamma_offset + k).
-    Returns a (2^log_size, 4) uint32 device array.
-
-    Host precomputes the per-sample line coefficients (tiny numpy);
-    the device runs one fused kernel for the entire size group.
-    """
+def prep_args(samples, gamma, gamma_offset: int = 0) -> dict:
+    """Host precompute of one size group's sample constants (tiny
+    numpy): denominator lines, gamma-weighted numerator coefficients,
+    and the padded column-index matrix."""
     gamma = np.asarray(gamma, np.uint64)
     S = len(samples)
     k_max = max(len(s.columns) for s in samples)
@@ -159,12 +151,30 @@ def accumulate_quotients(log_size: int, columns, samples, gamma,
             g = np_qm31_mul(g, gamma)
         As[si] = A.astype(np.uint32)
         Bs[si] = B.astype(np.uint32)
+    return {"zx": zx, "zy": zy, "dx": dxs, "dy": dys, "A": As,
+            "B": Bs, "gcs": gcs, "idx": idx}
 
+
+def accumulate_quotients(log_size: int, columns, samples, gamma,
+                         gamma_offset: int = 0):
+    """Combined quotient evals for one size group, committed order.
+
+    columns: list of (2^log_size,) uint32 M31 eval arrays (committed
+    order); samples: list[PointSample]; gamma: (4,) QM31; the k-th
+    (sample, column) term gets coefficient gamma^(gamma_offset + k).
+    Returns a (2^log_size, 4) uint32 device array.
+
+    Host precomputes the per-sample line coefficients (tiny numpy);
+    the device runs one fused kernel for the entire size group.
+    """
+    S = len(samples)
+    a = prep_args(samples, gamma, gamma_offset)
     from ..utils.progstore import aot_call
     xs, ys = committed_points(log_size)
     return aot_call(("quot.accumulate", S), _accumulate_raw(S),
                     jnp.asarray(columns), jnp.asarray(xs),
-                    jnp.asarray(ys), zx, zy, dxs, dys, As, Bs, gcs, idx)
+                    jnp.asarray(ys), a["zx"], a["zy"], a["dx"],
+                    a["dy"], a["A"], a["B"], a["gcs"], a["idx"])
 
 
 class QuotientsAt:

@@ -74,8 +74,10 @@ class RoleCommitment:
         n = ns.pop()
         idxs, batch = batches[n]
         rowmap = {ci: r for r, ci in enumerate(idxs)}
-        rows = jnp.asarray(np.asarray([rowmap[i] for i in col_idxs],
-                                      np.int64))
+        sel = [rowmap[i] for i in col_idxs]
+        if sel == list(range(int(batch.shape[0]))):
+            return batch, n        # identity: no gather copy (GBs at 2^20)
+        rows = jnp.asarray(np.asarray(sel, np.int64))
         return batch[rows], n
 
     def evals_natural_matrix(self, col_idxs, eval_log: int):
@@ -174,6 +176,14 @@ def _ship(batch: np.ndarray):
     Remote backends get width-bucketed bit packing (`_ship_packed`,
     ~10x fewer bytes than uint32 for machine traces: flags are 1 bit,
     byte limbs 8); the local CPU backend skips the packing work."""
+    import jax
+    import os
+    from ..utils.profile import scope as _scope
+    with _scope("ship"):
+        return _ship_inner(batch)
+
+
+def _ship_inner(batch: np.ndarray):
     import jax
     import os
     force = os.environ.get("NZT_PACK_SHIP")

@@ -451,22 +451,29 @@ def _composition_coeffs_fused(components, infos, plan, log_sizes,
                     shift_pows, _relations_flat(relations), params_all)
 
 
-def _lde_nat_ext(rc, ridxs, ev_log: int, halo, qm31: bool = False,
-                 max_bytes: int = 1 << 30):
+def _lde_nat_ext(cols, ev_log: int, halo, row_range=None,
+                 qm31: bool = False, max_bytes: int = 1 << 29):
     """Natural-order eval blocks with wraparound halo columns.
 
-    Returns a list of device blocks — (Rj, 2^ev + H) M31 rows, or
-    (Bj, 2^ev + H, 4) QM31 groups when ``qm31`` — computed row-chunked
-    so no single LDE program's working set exceeds ~3*max_bytes.  The
-    halo lets the chunked composition scan read mask offsets with plain
-    dynamic slices (ext position p = natural row (p - hneg) mod M)."""
-    import functools
+    cols: (C, 2^n) device coefficient rows.  Returns a list of device
+    blocks — (Rj, W) M31 rows, or (Bj, W, 4) QM31 groups when
+    ``qm31`` — computed column-chunked so no single LDE program's
+    working set exceeds ~3*max_bytes.  ``row_range=(lo, hi)`` restricts
+    the output to natural rows [lo, hi) (W = hi - lo + halo): the LDE
+    itself always spans the full domain (FFT locality), but only the
+    requested slice is materialized — the composition runs in several
+    such passes when the full 4x natural set cannot sit next to the
+    committed evals in HBM.  The halo lets the chunked scan read mask
+    offsets with plain dynamic slices (ext position p = natural row
+    (lo + p - hneg) mod M)."""
     from ..utils.progstore import aot_call
     hneg, hpos = halo
     nat = natural_to_layout(ev_log)
-    idx = np.concatenate([nat[-hneg:] if hneg else nat[:0], nat,
-                          nat[:hpos]])
-    cols, _n = rc.coeff_rows(ridxs)
+    M = 1 << ev_log
+    lo, hi = (0, M) if row_range is None else row_range
+    rows = (np.arange(lo - hneg, hi + hpos, dtype=np.int64)) % M
+    idx = nat[rows]
+    cols = jnp.asarray(cols)
     C = int(cols.shape[0])
     rows_per = max(1, int(max_bytes) // ((1 << ev_log) * 4))
     if qm31:
@@ -481,10 +488,10 @@ def _lde_nat_ext(rc, ridxs, ev_log: int, halo, qm31: bool = False,
 
     body = body_qm31 if qm31 else body_m31
     out = []
-    for lo in range(0, C, rows_per):
+    for clo in range(0, C, rows_per):
         out.append(aot_call(("stark.lde_nat_ext", ev_log, hneg, hpos,
-                             qm31), body, cols[lo:lo + rows_per],
-                            jnp.asarray(idx)))
+                             hi - lo, qm31), body,
+                            cols[clo:clo + rows_per], jnp.asarray(idx)))
     return out
 
 
@@ -511,22 +518,55 @@ def _composition_big_one(c, components, infos, plan, log_sizes,
     isf_ridx = plan.metas[plan.index[
         ("pre", -1, ("is_first", plan.pre_sizes.index(n)))]].ridx
 
-    main_chunks = _lde_nat_ext(rcs["main"], main_ridxs, ev, halo)
-    pre_ext = (_lde_nat_ext(rcs["pre"], pre_ridxs, ev, halo)
-               if pre_ridxs else None)
-    if pre_ext is not None:
-        pre_ext = (pre_ext[0] if len(pre_ext) == 1
-                   else jnp.concatenate(pre_ext))
-    inter_chunks = (_lde_nat_ext(rcs["inter"], inter_ridxs, ev, halo,
-                                 qm31=True) if inter_ridxs else None)
-    isf_ext = _lde_nat_ext(rcs["pre"], [isf_ridx], ev, halo)[0][0]
-
+    # pass planning: how much of the 4x natural set fits at once
+    n_rows_tot = (len(main_ridxs) + len(pre_ridxs) + len(inter_ridxs)
+                  + 1)
+    budget = int(os.environ.get("NZT_COMP_NAT_BUDGET",
+                                str(8 << 30)))
+    n_passes = 1
+    while n_rows_tot * ((1 << ev) // n_passes) * 4 > budget and \
+            n_passes < (1 << ev) >> 10:
+        n_passes *= 2
     chunk_log = int(os.environ.get("NZT_COMP_CHUNK_LOG", "17"))
-    n_chunks = max(1, (1 << ev) >> chunk_log)
-    return run_constraints_domain_chunked(
-        comp, main_chunks, pre_ext, inter_chunks, isf_ext, relations,
-        claimed_sums[c], alpha, inv_vanishing_natural(n, ev), shift_pow,
-        n_chunks, halo)
+    per_pass = (1 << ev) // n_passes
+    n_chunks = max(1, per_pass >> chunk_log)
+
+    cols_main = rcs["main"].coeff_rows(main_ridxs)[0]
+    cols_pre = (rcs["pre"].coeff_rows(pre_ridxs)[0]
+                if pre_ridxs else None)
+    cols_inter = (rcs["inter"].coeff_rows(inter_ridxs)[0]
+                  if inter_ridxs else None)
+    cols_isf = rcs["pre"].coeff_rows([isf_ridx])[0]
+    invv = inv_vanishing_natural(n, ev)
+
+    outs = []
+    for pi in range(n_passes):
+        lo, hi = pi * per_pass, (pi + 1) * per_pass
+        rng = (lo, hi)
+        with scope(f"c:lde:{comp.name}"):
+            main_chunks = _lde_nat_ext(cols_main, ev, halo, rng)
+            pre_ext = (_lde_nat_ext(cols_pre, ev, halo, rng)
+                       if cols_pre is not None else None)
+            if pre_ext is not None:
+                pre_ext = (pre_ext[0] if len(pre_ext) == 1
+                           else jnp.concatenate(pre_ext))
+            inter_chunks = (_lde_nat_ext(cols_inter, ev, halo, rng,
+                                         qm31=True)
+                            if cols_inter is not None else None)
+            isf_ext = _lde_nat_ext(cols_isf, ev, halo, rng)[0][0]
+            if n_passes > 1:
+                isf_ext.block_until_ready()
+        with scope(f"c:scan:{comp.name}"):
+            acc = run_constraints_domain_chunked(
+                comp, main_chunks, pre_ext, inter_chunks, isf_ext,
+                relations, claimed_sums[c], alpha, invv[lo:hi],
+                shift_pow, n_chunks, halo)
+            # materialize the dispatch chain before building the next
+            # pass's natural set — passes exist to bound peak memory
+            if n_passes > 1:
+                acc.block_until_ready()
+        outs.append(acc)
+    return outs[0] if n_passes == 1 else jnp.concatenate(outs)
 
 
 def _composition_combine(buckets: dict, comp_log: int):
@@ -725,6 +765,9 @@ def prove(components, log_sizes, main_traces, channel,
                     if blocks else None)
         if rc_inter is not None:
             rc_inter.mix_roots(channel)
+        # these locals would otherwise pin GBs of device memory until
+        # the function returns (B x M x 4 stacks + their transposes)
+        del inter_qm31, blocks
 
     # -- composition ------------------------------------------------------
     import os as _os
@@ -838,32 +881,58 @@ def prove(components, log_sizes, main_traces, channel,
         gamma = np.asarray(channel.draw_felt(), np.uint64)
         with scope("q:samples"):
             samples_by_size = _build_samples(plan, z, sampled)
-        fri_inputs, offset = {}, 0
-        for s in sorted(plan.groups, reverse=True):
-            # gather the group's eval rows role by role, then concat —
-            # the group index order must match samples_by_size's
-            # column order
-            parts, part_roles = [], []
+        # EVERY size group's gather + accumulation in ONE stored
+        # program: per-size dispatches each cost a handful of argument
+        # round trips over the tunneled link (~0.5s/size measured)
+        from ..ops.circle import committed_points
+        sizes_desc = sorted(plan.groups, reverse=True)
+        spec, np_args, evals_args, pts = [], {}, {}, {}
+        offset = 0
+        for s in sizes_desc:
+            part_roles = []
             for i in plan.groups[s]:
                 m = plan.metas[i]
                 if not part_roles or part_roles[-1][0] != m.role:
                     part_roles.append((m.role, []))
                 part_roles[-1][1].append(m.ridx)
-            with scope(f"q:gather:{s}"):
-                for role, ridxs in part_roles:
-                    rc = rcs[role]
-                    rows = jnp.asarray(np.asarray(
-                        [rc.cols_by_size[s].index(r) for r in ridxs],
-                        np.int64))
-                    parts.append(rc.evals[s][rows])
+            sel = []
+            for role, ridxs in part_roles:
+                rc = rcs[role]
+                rows = tuple(rc.cols_by_size[s].index(r) for r in ridxs)
+                sel.append((role, rows))
+            spec.append((s, tuple(sel), len(samples_by_size[s])))
+            np_args[str(s)] = quotients.prep_args(samples_by_size[s],
+                                                  gamma, offset)
+            xs, ys = committed_points(s)
+            pts[str(s)] = (jnp.asarray(xs), jnp.asarray(ys))
+            evals_args[str(s)] = {role: rcs[role].evals[s]
+                                  for role, _ in sel}
+            offset += quotients.n_terms(samples_by_size[s])
+
+        def q_body(evals_args, pts, np_args):
+            out = {}
+            for s_, sel, S in spec:
+                parts = []
+                for role, rows in sel:
+                    ridx = jnp.asarray(np.asarray(rows, np.int64))
+                    parts.append(evals_args[str(s_)][role][ridx])
                 cols = (parts[0] if len(parts) == 1
                         else jnp.concatenate(parts))
-            with scope(f"q:acc:{s}"):
-                fri_inputs[s] = quotients.accumulate_quotients(
-                    s, cols, samples_by_size[s], gamma, offset)
-            offset += quotients.n_terms(samples_by_size[s])
+                a = np_args[str(s_)]
+                raw = quotients._accumulate_raw(S)
+                out[str(s_)] = raw(cols, pts[str(s_)][0],
+                                   pts[str(s_)][1], a["zx"], a["zy"],
+                                   a["dx"], a["dy"], a["A"], a["B"],
+                                   a["gcs"], a["idx"])
+            return out
+
+        from ..utils.progstore import aot_call as _aot
+        outs = _aot(("stark.quotients", tuple(spec)), q_body,
+                    evals_args, pts, np_args)
+        fri_inputs = {s: outs[str(s)] for s in sizes_desc}
     with scope("fri"):
         fri_state = fri.fri_commit(fri_inputs, channel, config.fri)
+        del fri_inputs, outs           # consumed; free before openings
 
     # -- PoW + queries + openings ------------------------------------------
     with scope("pow"):

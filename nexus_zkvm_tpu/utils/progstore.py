@@ -46,7 +46,7 @@ __all__ = ["aot_call", "store_dir", "clear_memory_cache"]
 
 # Bump when kernel semantics change incompatibly with stored artifacts
 # (the aval key catches shape/dtype changes; this catches math changes).
-_STORE_VERSION = "v1"
+_STORE_VERSION = "v2"
 
 _mem: dict = {}
 _jit_mem: dict = {}
@@ -84,6 +84,16 @@ def _aval_sig(args):
 def _disabled() -> bool:
     if os.environ.get("NZT_NO_PROGRAM_STORE"):
         return True
+    if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") and \
+            jax.default_backend() == "cpu":
+        # The TPU-tunnel plugin routes the export/AOT pipeline's
+        # backend compiles to the REMOTE host — including CPU-target
+        # compiles, which come back built for the remote machine's CPU
+        # features (avx512/amx) and abort/SIGILL locally (and poison
+        # the persistent cache with foreign-feature entries).  Plain
+        # jax.jit compiles locally and is safe; the export store only
+        # pays off on the tunneled TPU backend anyway.
+        return True
     from ..parallel.context import active_mesh
     return active_mesh() is not None
 
@@ -116,20 +126,45 @@ def aot_call(site_key, fn, *args):
         exp = _load_or_export(key, fn, args)
         with _lock:
             _mem[key] = exp
-        if jax.default_backend() == "cpu":
-            # jaxlib SEGFAULTS serializing an XLA:CPU executable that
-            # was compiled from a deserialized exported program into
-            # the persistent compile cache (AOT/portable pipeline) —
-            # and such entries carry foreign machine-feature flags that
-            # poison later processes.  Compile exported programs with
-            # cache writes off; XLA:CPU compiles are fast locally.
-            on = jax.config.jax_enable_compilation_cache
-            try:
-                jax.config.update("jax_enable_compilation_cache", False)
-                return exp.call(*args)
-            finally:
-                jax.config.update("jax_enable_compilation_cache", on)
+    if jax.default_backend() == "cpu":
+        # jaxlib SEGFAULTS serializing an XLA:CPU executable that was
+        # compiled from a deserialized exported program into the
+        # persistent compile cache (AOT/portable pipeline) — and such
+        # entries carry foreign machine-feature flags that poison later
+        # processes.  The enable/dir config flags are memoized inside
+        # jax's cache machinery, so the only reliable off-switch is the
+        # write entry point itself: every exported-program call runs
+        # with `put_executable_and_time` neutered.  XLA:CPU compiles
+        # are fast locally; skipping their cache writes costs nothing.
+        _install_put_guard()
+        _PUT_GUARD.depth = getattr(_PUT_GUARD, "depth", 0) + 1
+        try:
+            return exp.call(*args)
+        finally:
+            _PUT_GUARD.depth -= 1
     return exp.call(*args)
+
+
+_PUT_GUARD = threading.local()
+_PUT_GUARD_INSTALLED = [False]
+
+
+def _install_put_guard():
+    if _PUT_GUARD_INSTALLED[0]:
+        return
+    with _lock:
+        if _PUT_GUARD_INSTALLED[0]:
+            return
+        from jax._src import compilation_cache as _cc
+        orig = _cc.put_executable_and_time
+
+        def guarded(*a, **k):
+            if getattr(_PUT_GUARD, "depth", 0):
+                return None
+            return orig(*a, **k)
+
+        _cc.put_executable_and_time = guarded
+        _PUT_GUARD_INSTALLED[0] = True
 
 
 def _key_digest(key) -> str:

@@ -24,11 +24,12 @@ import jax  # noqa: E402  (must come after the env setup above)
 # the config level, which overrides JAX_PLATFORMS — force pure CPU here.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent XLA compilation cache: re-runs of the suite skip recompiling
-# the hundreds of tiny eager/jit executables the field kernels generate.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-# persist everything: even micro-op compiles are worth a ~ms cache read
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+# Persistent XLA compilation cache: DISABLED for local CPU runs in this
+# environment.  jaxlib nondeterministically SEGFAULTS serializing some
+# XLA:CPU executables into the cache (put_executable_and_time), and the
+# TPU-tunnel plugin's remote AOT compiles poison the cache with entries
+# built for the remote host's CPU features (avx512/amx -> SIGILL on
+# read).  The flags are memoized inside jax's cache machinery, so the
+# only reliable point to turn the cache off is before the first
+# compile — here.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -86,3 +86,30 @@ def test_lde_wrapper():
     cb = np.asarray(cfft.interpolate(big))
     assert np.array_equal(
         cb, np.asarray(cfft.extend_coeffs(cfft.interpolate(e), 6)))
+
+
+def test_large_transform_transposed_path():
+    """n >= 15 engages the transposed small-half stage path; values
+    must match the plain-path math exactly (roundtrip + spot point)."""
+    import nexus_zkvm_tpu.ops.cfft as C
+    rng = np.random.default_rng(3)
+    n = 15
+    evals = rng.integers(0, P, size=(2, 1 << n), dtype=np.uint32)
+    cf = np.asarray(C.interpolate(evals))
+    back = np.asarray(C.evaluate(cf))
+    assert np.array_equal(back, evals)
+    # against the plain path: force the threshold off
+    old = C._TRANSPOSE_MIN_LOG
+    try:
+        C._TRANSPOSE_MIN_LOG = 99
+        from nexus_zkvm_tpu.utils.progstore import clear_memory_cache
+        clear_memory_cache()
+        cf_plain = np.asarray(C.interpolate(evals))
+        assert np.array_equal(cf, cf_plain)
+        # LDE comparison (extension exercises extend_coeffs too)
+        lde_plain = np.asarray(C.evaluate(cf[:, : 1 << (n - 1)], n))
+    finally:
+        C._TRANSPOSE_MIN_LOG = old
+        clear_memory_cache()
+    lde_t = np.asarray(C.evaluate(cf[:, : 1 << (n - 1)], n))
+    assert np.array_equal(lde_t, lde_plain)

@@ -212,3 +212,14 @@ def test_galeshapley():
     from nexus_zkvm_tpu.machine2 import build_machine2_traces
     comps, log_sizes, traces = build_machine2_traces(view, trace)
     assert_constraints(comps, log_sizes, traces)
+
+
+def test_fib1000():
+    view, trace = run("fib1000.s", b"")
+    assert view.exit_code == 0
+    # fib(1000) mod 2^32 with fib(0)=0: iterating 1000 steps from (0,1)
+    a, b = 0, 1
+    for _ in range(1000):
+        a, b = b, (a + b) & 0xFFFFFFFF
+    assert decode_u32s(view.public_output, 1) == [a]
+    check_machine(view, trace)

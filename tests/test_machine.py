@@ -372,34 +372,126 @@ def test_prove_verify_keccak():
     assert verify_machine(view, proof, CFG)
 
 
+_STREAMED_CHILD = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))) if "__file__" in dir() else None
+import numpy as np
+from nexus_zkvm_tpu.machine.driver import prove_machine, verify_machine
+from nexus_zkvm_tpu.prover import PcsConfig
+from nexus_zkvm_tpu.ops.fri import FriConfig
+from nexus_zkvm_tpu.vm import asm, k_trace
+
+CFG = PcsConfig(pow_bits=2, fri=FriConfig(log_blowup=1,
+                                          log_last_layer=0,
+                                          n_queries=8))
+view, trace = k_trace(asm.assemble(SRC))
+p_batch = prove_machine(view, trace, CFG, segment_log=5)
+p_stream = prove_machine(view, trace, CFG, segment_log=5, stream=True)
+
+def eq(a, b):
+    if isinstance(a, dict):
+        return set(a) == set(b) and all(eq(a[k], b[k]) for k in a)
+    if isinstance(a, (list, tuple)):
+        return len(a) == len(b) and all(eq(u, v) for u, v in zip(a, b))
+    if hasattr(a, "__dict__"):
+        return eq(vars(a), vars(b))
+    if hasattr(a, "shape"):
+        return np.array_equal(np.asarray(a), np.asarray(b))
+    return a == b
+
+assert eq(p_batch.stark, p_stream.stark), "streamed proof differs"
+assert verify_machine(view, p_stream, CFG)
+print("STREAMED_OK")
+"""
+
+
 @pytest.mark.slow
 def test_prove_verify_segmented_streamed():
     """Streamed segment shipping changes placement, not the proof:
     bit-identical transcript to the host-batched path, verifier
-    unchanged."""
-    view, trace = k_trace(asm.assemble("""
+    unchanged.
+
+    Runs in a fresh subprocess: XLA:CPU nondeterministically segfaults
+    compiling this flow's larger programs mid-suite (jaxlib bug —
+    crashes inside backend_compile/cache serialize); a clean process
+    compiles the identical graphs reliably."""
+    import subprocess
+    import sys
+    src = """
         addi t0, zero, 60
     loop:
         addi t0, t0, -1
         bne  t0, zero, loop
         lw   t1, 0x84(zero)
         sw   t0, 0(t1)
-    """ + EXIT))
-    p_batch = prove_machine(view, trace, CFG, segment_log=5)
-    p_stream = prove_machine(view, trace, CFG, segment_log=5,
-                             stream=True)
+    """ + EXIT
+    import os
+    code = "SRC = " + repr(src) + "\n" + _STREAMED_CHILD
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=1500,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))), env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "STREAMED_OK" in r.stdout
 
-    def eq(a, b):
-        if isinstance(a, dict):
-            return set(a) == set(b) and all(eq(a[k], b[k]) for k in a)
-        if isinstance(a, (list, tuple)):
-            return len(a) == len(b) and all(eq(u, v) for u, v in zip(a, b))
-        if hasattr(a, "__dict__"):
-            return eq(vars(a), vars(b))
-        if hasattr(a, "shape"):
-            return np.array_equal(np.asarray(a), np.asarray(b))
-        return a == b
 
-    assert eq(p_batch.stark, p_stream.stark), \
-        "streamed proof differs from batched proof"
-    assert verify_machine(view, p_stream, CFG)
+_SPLIT_CHILD = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["NZT_COMP_SPLIT_EV"] = "7"
+os.environ["NZT_COMP_CHUNK_LOG"] = "4"
+os.environ["NZT_COMP_NAT_BUDGET"] = str(1 << 14)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_compilation_cache", False)
+from nexus_zkvm_tpu.machine.driver import prove_machine, verify_machine
+from nexus_zkvm_tpu.prover import PcsConfig
+from nexus_zkvm_tpu.ops.fri import FriConfig
+from nexus_zkvm_tpu.vm import asm, k_trace
+
+CFG = PcsConfig(pow_bits=2, fri=FriConfig(log_blowup=1,
+                                          log_last_layer=0,
+                                          n_queries=8))
+view, trace = k_trace(asm.assemble(SRC))
+proof = prove_machine(view, trace, CFG)
+del os.environ["NZT_COMP_SPLIT_EV"]
+assert verify_machine(view, proof, CFG)
+print("SPLIT_OK")
+"""
+
+
+@pytest.mark.slow
+def test_prove_verify_split_composition():
+    """The memory-bounded composition path (per-component dispatch +
+    multi-pass natural LDE + scanned chunks) produces a proof the
+    standard verifier accepts — identical transcript semantics.
+
+    Subprocess-isolated for the same jaxlib mid-process compile
+    fragility as the streamed test above."""
+    import os
+    import subprocess
+    import sys
+    src = """
+        addi t0, zero, 50
+    loop:
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        lw   t1, 0x84(zero)
+        sw   t0, 0(t1)
+    """ + EXIT
+    code = "SRC = " + repr(src) + "\n" + _SPLIT_CHILD
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=1500,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))), env=env)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "SPLIT_OK" in r.stdout

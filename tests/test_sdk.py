@@ -108,3 +108,31 @@ def test_bundle_verifies_without_guest():
     # a doctored claim (flip the exit code) must not verify
     view2.exit_code = 7
     assert not verify(view2, proof2, CFG)
+
+
+def test_host_profile_decorator(tmp_path):
+    """@sdk.profile wraps a host call and writes a phase report
+    (reference analogue: sdk/macros/src/pprof.rs:7-40)."""
+    from nexus_zkvm_tpu.sdk import profile
+    from nexus_zkvm_tpu.utils.profile import scope
+
+    @profile("unit", dir=str(tmp_path))
+    def work(x):
+        with scope("phase_a"):
+            s = sum(range(x))
+        return s
+
+    assert work(1000) == sum(range(1000))
+    assert work.last_report_path is not None
+    text = open(work.last_report_path).read()
+    assert "phase_a" in text
+
+    # nested profiled calls fold into the outer report (no extra file)
+    @profile("outer", dir=str(tmp_path))
+    def outer():
+        return work(10)
+
+    assert outer() == sum(range(10))
+    reports = sorted(p.name for p in tmp_path.iterdir())
+    assert any(p.startswith("outer") for p in reports)
+    assert "profile:unit" in open(outer.last_report_path).read()
