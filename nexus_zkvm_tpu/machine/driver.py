@@ -234,16 +234,20 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
         segs = trace.split_by(1 << segment_log)
     else:
         segs = [trace]
-    comps, fixed_sizes, (st_lo, st_hi) = build_components(
-        view, n_segments=len(segs))
+    from ..utils.profile import scope as _scope0
+    with _scope0("f:components"):
+        comps, fixed_sizes, (st_lo, st_hi) = build_components(
+            view, n_segments=len(segs))
     by_name = {c.name: c for c in comps}
     lay = view.memory_layout
 
+    from ..utils.profile import scope as _scope
     cpu_fills, cpu_logs, cpu_emit_list = [], [], []
     cpu_dev = []                 # stream=True: per-segment device matrix
     for seg in segs:
         log = _clog2(len(seg.steps["clk"]), lo=4)
-        f, e = fill_cpu(seg, view, log, st_lo, st_hi)
+        with _scope("f:cpu"):
+            f, e = fill_cpu(seg, view, log, st_lo, st_hi)
         cpu_fills.append(f)
         cpu_logs.append(log)
         cpu_emit_list.append(e)
@@ -254,7 +258,8 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
             cols = CPU_SCHEMA.to_columns(f)
             cpu_dev.append(_ship(np.stack(cols)))
 
-    addrs, inits, finals, fts, oc_prev = _ram_data(trace, view)
+    with _scope("f:ram"):
+        addrs, inits, finals, fts, oc_prev = _ram_data(trace, view)
     # +1 guarantees a padding row so the sorted-address next-row
     # constraint does not wrap onto row 0
     ram_log = _clog2(len(addrs) + 1)
@@ -310,10 +315,11 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
     mi_mult = np.zeros(1 << fixed_sizes["mem_init"], np.uint32)
     mi_mult[g_addrs // 4] = 1
 
-    mults = _table_mults(comps, fixed_sizes,
-                         cpu_emit_list + [mext_emits, kk_emits,
-                         _memside_emits(ram_fill, out_fill)]
-                         + [e for _, _, e in pre_fills.values()])
+    with _scope("f:mults"):
+        mults = _table_mults(comps, fixed_sizes,
+                             cpu_emit_list + [mext_emits, kk_emits,
+                             _memside_emits(ram_fill, out_fill)]
+                             + [e for _, _, e in pre_fills.values()])
 
     log_sizes, traces = [], []
     seg_i = 0
