@@ -267,7 +267,23 @@ class ComponentInfo:
     uses_is_first: bool
 
 
+_INFO_CACHE: dict = {}
+
+
 def component_info(component: Component) -> ComponentInfo:
+    """Shape introspection (column counts, masks, relation widths).
+    Cached on ``jit_key()`` — the same key the jitted evaluation graphs
+    share, so any two components with equal keys have identical
+    constraint structure by construction."""
+    key = component.jit_key()
+    info = _INFO_CACHE.get(key)
+    if info is None:
+        info = _component_info_uncached(component)
+        _INFO_CACHE[key] = info
+    return info
+
+
+def _component_info_uncached(component: Component) -> ComponentInfo:
     ctx = InfoContext(params=component.params())
     component.evaluate(ctx)
     nb = (len(ctx.entries) + 1) // 2

@@ -116,13 +116,36 @@ class Blake2sChannel:
         return (v & ((1 << pow_bits) - 1)) == 0 if pow_bits else True
 
     def grind_pow(self, pow_bits: int, max_iters: int = 1 << 32) -> int:
-        """Find and mix a nonce with pow_bits trailing-zero bits."""
-        nonce = 0
-        while nonce < max_iters:
-            if self.check_pow_nonce(pow_bits, nonce):
+        """Find and mix the smallest nonce with pow_bits zero low bits.
+
+        Batched grind: 2^16 candidate nonces per numpy Blake2s call
+        (`np_batch_blake2s_words`) instead of one hashlib call per
+        nonce — same result (smallest passing nonce) ~100x faster."""
+        from .ops.blake2s import np_batch_blake2s_words
+        if not pow_bits:
+            self.mix_u64(0)
+            return 0
+        dw = np.frombuffer(self.digest, dtype="<u4")
+        B = 1 << 16
+        lo_mask = (1 << min(pow_bits, 32)) - 1
+        hi_mask = (1 << max(pow_bits - 32, 0)) - 1
+        base = 0
+        while base < max_iters:
+            n = np.arange(base, base + B, dtype=np.uint64)
+            msgs = np.zeros((B, 10), np.uint32)
+            msgs[:, :8] = dw
+            msgs[:, 8] = (n & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            msgs[:, 9] = (n >> np.uint64(32)).astype(np.uint32)
+            d = np_batch_blake2s_words(msgs)
+            ok = (d[:, 0] & np.uint32(lo_mask)) == 0
+            if hi_mask:
+                ok &= (d[:, 1] & np.uint32(hi_mask)) == 0
+            hits = np.flatnonzero(ok)
+            if hits.size:
+                nonce = base + int(hits[0])
                 self.mix_u64(nonce)
                 return nonce
-            nonce += 1
+            base += B
         raise RuntimeError("PoW grind exhausted")
 
     def mix_pow_nonce(self, pow_bits: int, nonce: int) -> bool:

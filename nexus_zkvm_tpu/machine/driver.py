@@ -136,18 +136,45 @@ def _mix_view(channel, view):
     channel.mix_u32s(np.frombuffer(h.digest(), "<u4").astype(np.uint32))
 
 
-def _table_mults(components, fixed_sizes, emit_sets):
-    """Main (multiplicity) columns for the lookup tables."""
+def _table_mults(components, fixed_sizes, emit_sets, extra_counts=()):
+    """Main (multiplicity) columns for the lookup tables.
+
+    emit_sets: host dicts relation -> flat index arrays;
+    extra_counts: per-segment dicts relation -> DEVICE count vectors
+    (from `fill_cpu_dev`), fetched in one transfer and added."""
     from .tables import count_multiplicity, _Table
+    fetched = {}
+    if extra_counts:
+        import jax
+        items = [(i, rel) for i, d in enumerate(extra_counts)
+                 for rel in d]
+        vals = jax.device_get([extra_counts[i][rel] for i, rel in items])
+        for (_i, rel), v in zip(items, vals):
+            fetched.setdefault(rel, []).append(np.asarray(v, np.uint32))
     out = {}
     for comp in components:
         if not isinstance(comp, _Table):
             continue
         idx = [e[comp.relation] for e in emit_sets if comp.relation in e]
         idx = np.concatenate(idx) if idx else np.zeros(0, np.int64)
-        out[comp.name] = count_multiplicity(
-            comp, idx, fixed_sizes[comp.name])
+        mult = count_multiplicity(comp, idx, fixed_sizes[comp.name])
+        for v in fetched.get(comp.relation, ()):
+            mult[: len(v)] += v
+        out[comp.name] = mult
     return out
+
+
+def _use_dev_fill() -> bool:
+    """Device CPU fill: on for accelerator backends (the host-numpy
+    fill is memory-bandwidth-bound at ~17s per 2^20 segment), off on
+    CPU (tests keep the golden reference path). NZT_DEV_FILL=1/0
+    forces."""
+    import os
+    import jax
+    force = os.environ.get("NZT_DEV_FILL")
+    if force is not None:
+        return force != "0"
+    return jax.default_backend() != "cpu"
 
 
 def _ram_data(trace, view):
@@ -242,10 +269,24 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
     lay = view.memory_layout
 
     from ..utils.profile import scope as _scope
+    use_dev = _use_dev_fill()
     cpu_fills, cpu_logs, cpu_emit_list = [], [], []
-    cpu_dev = []                 # stream=True: per-segment device matrix
+    cpu_dev = []                 # per-segment device matrix
+    cpu_dev_counts = []          # per-segment device table histograms
     for seg in segs:
         log = _clog2(len(seg.steps["clk"]), lo=4)
+        if use_dev:
+            # device fill: ships the (masked) step record and derives
+            # every column + table histogram on device; dispatch is
+            # async, so the next segment's host prep overlaps it
+            from .fill_dev import fill_cpu_dev
+            with _scope("f:cpu"):
+                mat, dcounts = fill_cpu_dev(seg, view, log, st_lo,
+                                            st_hi)
+            cpu_dev.append(mat)
+            cpu_dev_counts.append(dcounts)
+            cpu_logs.append(log)
+            continue
         with _scope("f:cpu"):
             f, e = fill_cpu(seg, view, log, st_lo, st_hi)
         cpu_fills.append(f)
@@ -319,14 +360,15 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
         mults = _table_mults(comps, fixed_sizes,
                              cpu_emit_list + [mext_emits, kk_emits,
                              _memside_emits(ram_fill, out_fill)]
-                             + [e for _, _, e in pre_fills.values()])
+                             + [e for _, _, e in pre_fills.values()],
+                             extra_counts=cpu_dev_counts)
 
     log_sizes, traces = [], []
     seg_i = 0
     for comp in comps:
         if comp.name.startswith("cpu"):
             log_sizes.append(cpu_logs[seg_i])
-            traces.append(cpu_dev[seg_i] if stream
+            traces.append(cpu_dev[seg_i] if (stream or use_dev)
                           else CPU_SCHEMA.to_columns(cpu_fills[seg_i]))
             seg_i += 1
         elif comp.name == "program":

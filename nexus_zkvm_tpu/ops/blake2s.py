@@ -166,6 +166,87 @@ def _batch_blake2s_words(msgs):
 
 
 # ---------------------------------------------------------------------------
+# Host-side batch kernel (numpy) — the verifier's hashing workhorse
+# ---------------------------------------------------------------------------
+
+def np_batch_compress(h, m, t: int, last: bool) -> np.ndarray:
+    """Numpy mirror of :func:`batch_compress`: h (B, 8) uint32 states,
+    m (B, 16) uint32 blocks, t = byte counter after this block.
+    Vectorizes over the batch axis — the host verifier hashes whole
+    Merkle layers / PoW nonce ranges in one call instead of one
+    ``hashlib`` call per message."""
+    h = np.asarray(h, np.uint32)
+    m = np.ascontiguousarray(m, np.uint32)
+    B = h.shape[0]
+    v = np.empty((B, 16), np.uint32)
+    v[:, :8] = h
+    v[:, 8:] = _IV
+    v[:, 12] ^= np.uint32(t & 0xFFFFFFFF)
+    v[:, 13] ^= np.uint32((t >> 32) & 0xFFFFFFFF)
+    if last:
+        v[:, 14] ^= np.uint32(0xFFFFFFFF)
+
+    def ror(x, n):
+        return (x >> np.uint32(n)) | (x << np.uint32(32 - n))
+
+    def g(a, b, c, d, x, y):
+        a = a + b + x
+        d = ror(d ^ a, 16)
+        c = c + d
+        b = ror(b ^ c, 12)
+        a = a + b + y
+        d = ror(d ^ a, 8)
+        c = c + d
+        b = ror(b ^ c, 7)
+        return a, b, c, d
+
+    cols = [v[:, i] for i in range(16)]
+    for r in range(10):
+        s = _SIGMA[r]
+        mw = [m[:, s[i]] for i in range(16)]
+        cols[0], cols[4], cols[8], cols[12] = g(
+            cols[0], cols[4], cols[8], cols[12], mw[0], mw[1])
+        cols[1], cols[5], cols[9], cols[13] = g(
+            cols[1], cols[5], cols[9], cols[13], mw[2], mw[3])
+        cols[2], cols[6], cols[10], cols[14] = g(
+            cols[2], cols[6], cols[10], cols[14], mw[4], mw[5])
+        cols[3], cols[7], cols[11], cols[15] = g(
+            cols[3], cols[7], cols[11], cols[15], mw[6], mw[7])
+        cols[0], cols[5], cols[10], cols[15] = g(
+            cols[0], cols[5], cols[10], cols[15], mw[8], mw[9])
+        cols[1], cols[6], cols[11], cols[12] = g(
+            cols[1], cols[6], cols[11], cols[12], mw[10], mw[11])
+        cols[2], cols[7], cols[8], cols[13] = g(
+            cols[2], cols[7], cols[8], cols[13], mw[12], mw[13])
+        cols[3], cols[4], cols[9], cols[14] = g(
+            cols[3], cols[4], cols[9], cols[14], mw[14], mw[15])
+    out = np.empty((B, 8), np.uint32)
+    for i in range(8):
+        out[:, i] = h[:, i] ^ cols[i] ^ cols[i + 8]
+    return out
+
+
+def np_batch_blake2s_words(msgs: np.ndarray) -> np.ndarray:
+    """Blake2s-256 of B equal-length word-aligned messages, host numpy.
+    msgs: (B, W) uint32; returns (B, 8) uint32 digests. Value-identical
+    to :func:`batch_blake2s_words` / ``hashlib.blake2s``."""
+    msgs = np.ascontiguousarray(msgs, np.uint32)
+    B, w = msgs.shape
+    nbytes = 4 * w
+    nblocks = max(1, -(-w // 16))
+    pad = nblocks * 16 - w
+    if pad:
+        msgs = np.concatenate(
+            [msgs, np.zeros((B, pad), np.uint32)], axis=1)
+    h = np.broadcast_to(initial_state(), (B, 8)).copy()
+    for i in range(nblocks):
+        is_last = i == nblocks - 1
+        t = nbytes if is_last else 64 * (i + 1)
+        h = np_batch_compress(h, msgs[:, 16 * i:16 * (i + 1)], t, is_last)
+    return h
+
+
+# ---------------------------------------------------------------------------
 # Host-side helpers (numpy / hashlib)
 # ---------------------------------------------------------------------------
 

@@ -256,3 +256,32 @@ def committed_points(log_size: int):
     x, y = domain(log_size).points()
     perm = bit_reverse_indices(log_size)  # layout -> committed is rev itself
     return x[perm], y[perm]
+
+
+# -- device-resident copies (cached once per process; see devcache) ---------
+
+def dev_bit_reverse(log_n: int):
+    from ..utils.devcache import dev_const
+    return dev_const(("circle.brev", log_n),
+                     lambda: bit_reverse_indices(log_n).astype(np.int32))
+
+
+def dev_layout_to_natural(log_size: int):
+    from ..utils.devcache import dev_const
+    return dev_const(("circle.l2n", log_size),
+                     lambda: layout_to_natural(log_size).astype(np.int32))
+
+
+def dev_natural_to_layout(log_size: int):
+    from ..utils.devcache import dev_const
+    return dev_const(("circle.n2l", log_size),
+                     lambda: natural_to_layout(log_size).astype(np.int32))
+
+
+def dev_committed_points(log_size: int):
+    """(x, y) device pair in committed order (cached)."""
+    from ..utils.devcache import dev_const
+    return (dev_const(("circle.cpts.x", log_size),
+                      lambda: committed_points(log_size)[0]),
+            dev_const(("circle.cpts.y", log_size),
+                      lambda: committed_points(log_size)[1]))

@@ -222,14 +222,26 @@ def _fold(v, alpha, inv_twiddles):
     return aot_call("fri.fold", _fold_body, v, alpha, inv_twiddles)
 
 
+def dev_circle_fold_twiddles(log_size: int):
+    from ..utils.devcache import dev_const
+    return dev_const(("fri.ctw", log_size),
+                     lambda: circle_fold_twiddles(log_size))
+
+
+def dev_line_fold_twiddles(log_line_size: int):
+    from ..utils.devcache import dev_const
+    return dev_const(("fri.ltw", log_line_size),
+                     lambda: line_fold_twiddles(log_line_size))
+
+
 def fold_circle(v, alpha, log_size: int):
     return _fold(v, jnp.asarray(np.asarray(alpha, np.uint32)),
-                 jnp.asarray(circle_fold_twiddles(log_size)))
+                 dev_circle_fold_twiddles(log_size))
 
 
 def fold_line(v, alpha, log_line_size: int):
     return _fold(v, jnp.asarray(np.asarray(alpha, np.uint32)),
-                 jnp.asarray(line_fold_twiddles(log_line_size)))
+                 dev_line_fold_twiddles(log_line_size))
 
 
 def _alpha_powers(alpha, k: int) -> np.ndarray:
@@ -311,9 +323,9 @@ def fri_commit(inputs: dict, channel, config: FriConfig) -> FriProverState:
         pows = _alpha_powers(alpha, blk.k)
         # -- the block's folds (+ injection on the landing fold) --------
         if fused:
-            tws = [jnp.asarray(line_fold_twiddles(blk.m - i))
+            tws = [dev_line_fold_twiddles(blk.m - i)
                    for i in range(blk.k)]
-            inj_tw = (jnp.asarray(circle_fold_twiddles(blk.inj))
+            inj_tw = (dev_circle_fold_twiddles(blk.inj)
                       if blk.inj is not None
                       else jnp.zeros((1,), jnp.uint32))
 
@@ -336,7 +348,7 @@ def fri_commit(inputs: dict, channel, config: FriConfig) -> FriProverState:
             v = cur
             for i in range(blk.k):
                 v = _fold(v, jnp.asarray(pows[i]),
-                          jnp.asarray(line_fold_twiddles(blk.m - i)))
+                          dev_line_fold_twiddles(blk.m - i))
             if blk.inj is not None:
                 w = pows[blk.k - 1]
                 f = fold_circle(inj_arr, w, blk.inj)

@@ -274,6 +274,43 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
     return decommit_async(tree, queries).finalize()
 
 
+def _verify_decommitment_uniform(root, depth: int, n_cols: int, queries,
+                                 dec: MerkleDecommitment) -> bool:
+    """Uniform-depth fast path: every column committed at the leaf
+    layer (the only shape this framework's trees use).  Hashing runs
+    as one `np_batch_blake2s_words` call per layer over all tracked
+    positions instead of one hashlib call per node."""
+    from .blake2s import np_batch_blake2s_words
+    pos = sorted(set(int(q) for q in queries))
+    if len(dec.column_values) != n_cols or n_cols == 0:
+        return False
+    for cv in dec.column_values:
+        if len(cv) != len(pos):
+            return False
+    vals = np.stack([np.asarray(cv, np.uint32)
+                     for cv in dec.column_values], axis=1)
+    cur = np_batch_blake2s_words(vals)                     # (P, 8)
+    sib_iter = iter(dec.sibling_hashes)
+    for _d in range(depth, 0, -1):
+        src = {p: cur[i] for i, p in enumerate(pos)}
+        for p in pos:
+            s = p ^ 1
+            if s not in src:
+                try:
+                    src[s] = np.asarray(next(sib_iter), np.uint32)
+                except StopIteration:
+                    return False
+        parents = sorted({p >> 1 for p in pos})
+        msgs = np.empty((len(parents), 16), np.uint32)
+        for j, pp in enumerate(parents):
+            msgs[j, :8] = src[2 * pp]
+            msgs[j, 8:] = src[2 * pp + 1]
+        cur = np_batch_blake2s_words(msgs)
+        pos = parents
+    return bytes(cur[0].astype("<u4").tobytes()) == \
+        np.asarray(root, dtype="<u4").tobytes()
+
+
 def verify_decommitment(root, column_lengths, queries,
                         decommitment: MerkleDecommitment) -> bool:
     """Recompute the root from a decommitment. Host-side.
@@ -281,6 +318,12 @@ def verify_decommitment(root, column_lengths, queries,
     column_lengths: sizes of the committed columns in caller order.
     """
     import hashlib
+
+    if column_lengths and all(n == column_lengths[0]
+                              for n in column_lengths):
+        return _verify_decommitment_uniform(
+            root, _log2(column_lengths[0]), len(column_lengths),
+            queries, decommitment)
 
     queries = sorted(set(int(q) for q in queries))
     max_depth = max(_log2(n) for n in column_lengths)

@@ -37,6 +37,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .field import (
+    P,
     qm31_add, qm31_sub, qm31_mul, qm31_mul_m31, qm31_inv, qm31_from_m31,
     np_qm31_add, np_qm31_sub, np_qm31_mul, np_qm31_inv, np_qm31_conj,
     np_qm31_pow, np_m31_mul, np_qm31,
@@ -208,6 +209,35 @@ class QuotientsAt:
                 g = np_qm31_mul(g, gamma)
             self.pre.append((z_x, z_y, dx, dy,
                              list(s.columns), gcs, A, B))
+
+    def at_many(self, positions, values: np.ndarray) -> np.ndarray:
+        """Vectorized verifier recompute over all opened positions.
+
+        positions: sequence of Q positions; values: (G, Q) uint64
+        matrix of opened column values in the size group's canonical
+        column order. Returns (Q, 4) uint64 — row q equals
+        ``self.at(positions[q], ...)``."""
+        pos = np.asarray(positions, np.int64)
+        x_p = self.xs[pos]                       # (Q,)
+        y_p = self.ys[pos]
+        total = np.zeros((len(pos), 4), np.uint64)
+        for z_x, z_y, dx, dy, cols, gcs, A, B in self.pre:
+            vx = np_qm31_sub(np_qm31(x_p), z_x)              # (Q, 4)
+            vy = np_qm31_sub(np_qm31(y_p), z_y)
+            V = np_qm31_sub(np_qm31_mul(dy[None, :], vx),
+                            np_qm31_mul(dx[None, :], vy))
+            f = values[np.asarray(cols, np.int64)]           # (K, Q)
+            # per coord t: sum_k gc_k[t] * f_k  (products < 2^62; the
+            # per-term mod keeps the K-sum exact in uint64)
+            num = np.empty((len(pos), 4), np.uint64)
+            for t in range(4):
+                num[:, t] = ((gcs[:, t, None] * f) % np.uint64(P)) \
+                    .sum(axis=0) % np.uint64(P)
+            num = np_qm31_sub(num, np_qm31_add(
+                np_m31_mul(A[None, :], y_p[:, None]), B[None, :]))
+            total = np_qm31_add(total,
+                                np_qm31_mul(num, np_qm31_inv(V)))
+        return total
 
     def at(self, position: int, column_values) -> np.ndarray:
         """column_values: {column index -> M31 int value}."""

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..ops import cfft, merkle
 from ..ops.circle import (
     bit_reverse_indices, natural_to_layout, layout_to_natural,
+    dev_bit_reverse, dev_layout_to_natural,
 )
 from ..parallel.context import shard_rows
 
@@ -139,7 +140,7 @@ def _fused_lde_commit(batch, n: int, s: int):
     import functools
     ev, layers = aot_call(("pcs.lde_climb", s),
                           functools.partial(_lde_climb_body, s=s),
-                          batch, jnp.asarray(bit_reverse_indices(s)))
+                          batch, dev_bit_reverse(s))
     tree = merkle.MerkleTree(layers=list(reversed(layers)), columns=[],
                              by_depth={s: list(range(batch.shape[0]))},
                              matrix=ev)
@@ -160,7 +161,7 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
             evals[s], trees[s] = fused
             continue
         ev = cfft.evaluate(batch, s)                      # layout order
-        ev = ev[:, jnp.asarray(bit_reverse_indices(s))]   # committed
+        ev = ev[:, dev_bit_reverse(s)]                    # committed
         evals[s] = ev
         trees[s] = merkle.commit_matrix(ev)
     return RoleCommitment(role=role, trace_logs=list(trace_logs),
@@ -280,7 +281,7 @@ def commit_columns(role: str, columns, trace_logs, log_blowup: int,
         dev = shard_rows(dev)      # active mesh: rows over devices
         if keep_natural:
             natural[n] = (idxs, dev)
-        cf = cfft.interpolate(dev[:, jnp.asarray(layout_to_natural(n))])
+        cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
         coeff_batches[n] = (idxs, cf)
     rc = _commit_groups(role, trace_logs, coeff_batches, log_blowup)
     rc.natural = natural
@@ -321,7 +322,7 @@ def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
         dev = shard_rows(dev)
         if keep_natural:
             natural[n] = (idxs_by_n[n], dev)
-        cf = cfft.interpolate(dev[:, jnp.asarray(layout_to_natural(n))])
+        cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
         coeff_batches[n] = (idxs_by_n[n], cf)
     rc = _commit_groups(role, trace_logs, coeff_batches, log_blowup)
     rc.natural = natural

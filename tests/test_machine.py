@@ -495,3 +495,61 @@ def test_prove_verify_split_composition():
                            os.path.abspath(__file__))), env=env)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "SPLIT_OK" in r.stdout
+
+
+def test_dev_fill_parity():
+    """`fill_cpu_dev` (device fill + histogram emits) matches the
+    host-numpy `fill_cpu` + `count_multiplicity` bit for bit on a
+    mixed-opcode workload (ALU, shifts, bitops, loads/stores,
+    branches, syscalls)."""
+    from nexus_zkvm_tpu.machine.fill_dev import fill_cpu_dev
+    from nexus_zkvm_tpu.machine.cpu import fill_cpu
+    from nexus_zkvm_tpu.machine.driver import build_components, _clog2
+    from nexus_zkvm_tpu.machine.tables import count_multiplicity, _Table
+    src = """
+        li   t0, 23
+        li   t1, 0x12345678
+        addi a7, zero, 0x403     # heap pointer -> a0
+        ecall
+        mv   s2, a0
+    loop:
+        add  t2, t0, t1
+        sub  t3, t1, t0
+        xor  t4, t2, t3
+        and  t5, t2, t3
+        or   t6, t2, t3
+        sll  s3, t1, t0
+        srl  s4, t1, t0
+        sra  s5, t1, t0
+        slt  s6, t0, t1
+        sltu s7, t1, t0
+        sw   t2, 0(s2)
+        lw   s8, 0(s2)
+        sb   t3, 1(s2)
+        lb   s9, 1(s2)
+        lh   s10, 2(s2)
+        lui  s11, 0xABCDE
+        auipc a2, 4
+        addi t0, t0, -1
+        bne  t0, zero, loop
+        jal  ra, next
+    next:
+        lw   t1, 0x84(zero)
+        sw   t0, 0(t1)
+    """ + EXIT
+    view, trace = k_trace(asm.assemble(src))
+    comps, fixed, (lo, hi) = build_components(view, 1)
+    log = _clog2(len(trace.steps["clk"]), lo=4)
+    f, emits = fill_cpu(trace, view, log, lo, hi)
+    host_mat = np.stack(CPU_SCHEMA.to_columns(f))
+    mat, counts = fill_cpu_dev(trace, view, log, lo, hi)
+    assert np.array_equal(np.asarray(mat), host_mat)
+    for comp in comps:
+        if not isinstance(comp, _Table):
+            continue
+        idx = emits.get(comp.relation, np.zeros(0, np.int64))
+        want = count_multiplicity(comp, idx, fixed[comp.name])
+        got = np.zeros_like(want)
+        v = np.asarray(counts[comp.relation], np.uint32)
+        got[: len(v)] += v
+        assert np.array_equal(got, want), comp.relation
