@@ -6,7 +6,11 @@ the Mersenne-31 field, Blake2s Merkle commitments, LogUp lookups, FRI):
 
 - ``ops``      — compute kernels: M31/QM31 field arithmetic, circle FFT,
                  Blake2s hashing, Merkle forests, LogUp, FRI folds.
-- ``models``   — AIR "machines": constraint framework, chips, prove/verify.
+- ``air``      — the constraint-expression framework (components, LogUp).
+- ``machine``  — the RV32IM machine AIR (v1): CPU/mext/keccak/memory
+                 components, lookup tables, prove/verify driver.
+- ``machine2`` — the per-instruction-family machine (prover2 analogue).
+- ``prover``   — the STARK driver: commitments, composition, FRI, PoW.
 - ``vm``       — host-side RV32IM emulator, decoder/encoder, trace generation.
 - ``parallel`` — device mesh / sharding layer (pjit + shard_map over ICI).
 - ``sdk``      — the user-facing host API (compile/prove/verify).

@@ -13,10 +13,11 @@ The proving field stack (reference: stwo's `m31::BaseField` /
 
 TPU-first design notes
 ----------------------
-* Everything is ``uint32``; products are formed from 16-bit limbs so no
-  64-bit integer support is needed (keeps the ops Pallas-compatible and
-  avoids the x64 global flag). A 31x31-bit product is three 32-bit
-  partial products plus a fold using 2^31 ≡ 1 (mod p).
+* Storage is ``uint32``; 31x31-bit products go through ONE widening
+  uint64 multiply plus a Mersenne fold (2^31 ≡ 1 mod p). The package
+  enables ``jax_enable_x64``; XLA emulates u64 on TPU with u32 pairs,
+  which measures ~40% faster than explicit 16-bit limb decomposition
+  (and keeps traced graphs ~3x smaller).
 * Inversion is an exponentiation chain (x^(p-2)) — ~37 fully-parallel
   elementwise multiplies. On TPU this beats Montgomery batch inversion,
   which is a sequential prefix product (bad for the VPU); a scan-based

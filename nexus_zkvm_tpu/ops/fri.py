@@ -359,7 +359,17 @@ def fri_commit(inputs: dict, channel, config: FriConfig) -> FriProverState:
         inner.append((tree, root, blk))
 
     last_vals = np.asarray(cur)                  # (2^ll, 4) committed
-    coeffs = line_interpolate(last_vals)[: 1 << config.log_last_layer]
+    coeffs_full = line_interpolate(last_vals)
+    coeffs = coeffs_full[: 1 << config.log_last_layer]
+    # degree accounting check: if an upstream bug ever leaves the
+    # running layer above the last-layer degree bound, fail HERE (the
+    # proof would otherwise only fail much later at verification).
+    # NZT_FRI_UNSAFE_TRUNCATE=1 disables it (soundness tests use it to
+    # emulate a malicious prover and check the VERIFIER rejects).
+    import os as _os
+    if not _os.environ.get("NZT_FRI_UNSAFE_TRUNCATE"):
+        assert not coeffs_full[1 << config.log_last_layer:].any(), \
+            "FRI last layer exceeds its degree bound (upstream fold bug?)"
     coeffs = coeffs.astype(np.uint32)
     channel.mix_felts(coeffs)
     return FriProverState(config=config, input_sizes=sizes,
@@ -441,10 +451,16 @@ def fri_check_queries(proof: FriProof, alphas, queries, inputs_at,
     sizes = sorted(set(int(s) for s in input_sizes), reverse=True)
     s0 = sizes[0]
     sched = fold_schedule(sizes, config)
-    if len(proof.inner_decommitments) != len(sched):
+    if len(proof.inner_decommitments) != len(sched) or \
+            len(proof.inner_roots) != len(sched):
         return False
     if np.asarray(proof.last_layer).shape != \
             (1 << config.log_last_layer, 4):
+        return False
+    if config.last_line_log == 0:
+        # degenerate config (blowup 0 + last layer 0): no line domain
+        # to evaluate the last layer on — reject explicitly instead of
+        # dereferencing a None lx below
         return False
 
     # Verify inner-layer Merkle openings once, and index their values.

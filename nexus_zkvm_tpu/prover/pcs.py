@@ -214,6 +214,11 @@ def _ship_packed(batch: np.ndarray):
     C, M = batch.shape
     if C == 0 or M < 32:
         return jnp.asarray(batch)
+    M_orig = M
+    if M % 32:
+        batch = np.concatenate(
+            [batch, np.zeros((C, 32 - M % 32), np.uint32)], axis=1)
+        M = batch.shape[1]
     col_w = []
     for i in range(C):
         w = max(1, int(batch[i].max()).bit_length())
@@ -254,7 +259,8 @@ def _ship_packed(batch: np.ndarray):
         out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
         return out[perm]
 
-    return aot_call("pcs.unpack", unpack, packed, jnp.asarray(perm))
+    out = aot_call("pcs.unpack", unpack, packed, jnp.asarray(perm))
+    return out[:, :M_orig] if M_orig != M else out
 
 
 def commit_columns(role: str, columns, trace_logs, log_blowup: int,

@@ -136,12 +136,18 @@ def aot_call(site_key, fn, *args):
         # write entry point itself: every exported-program call runs
         # with `put_executable_and_time` neutered.  XLA:CPU compiles
         # are fast locally; skipping their cache writes costs nothing.
-        _install_put_guard()
-        _PUT_GUARD.depth = getattr(_PUT_GUARD, "depth", 0) + 1
+        if _install_put_guard():
+            _PUT_GUARD.depth = getattr(_PUT_GUARD, "depth", 0) + 1
+            try:
+                return exp.call(*args)
+            finally:
+                _PUT_GUARD.depth -= 1
+        prev = jax.config.jax_enable_compilation_cache
+        jax.config.update("jax_enable_compilation_cache", False)
         try:
             return exp.call(*args)
         finally:
-            _PUT_GUARD.depth -= 1
+            jax.config.update("jax_enable_compilation_cache", prev)
     return exp.call(*args)
 
 
@@ -149,22 +155,31 @@ _PUT_GUARD = threading.local()
 _PUT_GUARD_INSTALLED = [False]
 
 
-def _install_put_guard():
+def _install_put_guard() -> bool:
+    """Returns True when the cache-write guard is active.  The patch
+    targets a private jax symbol; if a jax upgrade renames it, fall
+    back to disabling the compilation cache flag for exported-program
+    calls (weaker — the flag is memoized in places — but never an
+    AttributeError at prove time)."""
     if _PUT_GUARD_INSTALLED[0]:
-        return
+        return _PUT_GUARD_INSTALLED[0] is True
     with _lock:
         if _PUT_GUARD_INSTALLED[0]:
-            return
-        from jax._src import compilation_cache as _cc
-        orig = _cc.put_executable_and_time
+            return _PUT_GUARD_INSTALLED[0] is True
+        try:
+            from jax._src import compilation_cache as _cc
+            orig = _cc.put_executable_and_time
 
-        def guarded(*a, **k):
-            if getattr(_PUT_GUARD, "depth", 0):
-                return None
-            return orig(*a, **k)
+            def guarded(*a, **k):
+                if getattr(_PUT_GUARD, "depth", 0):
+                    return None
+                return orig(*a, **k)
 
-        _cc.put_executable_and_time = guarded
-        _PUT_GUARD_INSTALLED[0] = True
+            _cc.put_executable_and_time = guarded
+            _PUT_GUARD_INSTALLED[0] = True
+        except (ImportError, AttributeError):
+            _PUT_GUARD_INSTALLED[0] = "fallback"
+    return _PUT_GUARD_INSTALLED[0] is True
 
 
 def _key_digest(key) -> str:

@@ -75,9 +75,14 @@ def test_smallest_input_joining_at_last_layer():
     assert run_fri(inputs, cfg)
 
 
-def test_high_degree_input_rejected():
+def test_high_degree_input_rejected(monkeypatch):
     cfg = fri.FriConfig(log_blowup=1, log_last_layer=0)
     junk = RNG.integers(0, P, size=(1 << 8, 4), dtype=np.uint32)
+    # honest prover fails fast at the source (degree-accounting check)
+    with pytest.raises(AssertionError):
+        run_fri({8: junk}, cfg)
+    # a malicious prover that truncates anyway is caught by the verifier
+    monkeypatch.setenv("NZT_FRI_UNSAFE_TRUNCATE", "1")
     assert not run_fri({8: junk}, cfg)
 
 
@@ -126,7 +131,7 @@ def test_last_layer_coeff_variants(log_last_layer):
     assert run_fri(inputs, cfg)
 
 
-def test_last_layer_degree_bound_enforced():
+def test_last_layer_degree_bound_enforced(monkeypatch):
     # a poly of dim 2^L+1 folded to the last layer cannot be expressed
     # by the 2^L coefficients the proof carries -> queries reject
     cfg = fri.FriConfig(log_blowup=1, log_last_layer=1)
@@ -134,6 +139,11 @@ def test_last_layer_degree_bound_enforced():
     # admits dim 2^(7 - (8-2)) ... build instead: high-ish degree
     # (dim 2^8 = full rate) input
     junk = RNG.integers(0, P, size=(1 << 9, 4), dtype=np.uint32)
+    # honest prover fails fast; malicious truncating prover is caught
+    # by the verifier's query checks
+    with pytest.raises(AssertionError):
+        run_fri({9: junk}, cfg)
+    monkeypatch.setenv("NZT_FRI_UNSAFE_TRUNCATE", "1")
     assert not run_fri({9: junk}, cfg)
 
 
@@ -153,3 +163,31 @@ def test_fold_schedule_boundaries():
     for a, b in zip(sched, sched[1:]):
         assert a.m - a.k == b.m
     assert sched[-1].m - sched[-1].k == cfg.last_line_log
+
+
+def test_fused_path_transcript_parity(monkeypatch):
+    """NZT_FUSE_FRI=1 (the TPU production path: fused Merkle climb +
+    arity-block folds in one program) produces a byte-identical
+    transcript and an accepting proof — pins fused/unfused equality on
+    the CPU suite (advisor r4 finding)."""
+    from nexus_zkvm_tpu.ops.fri import FriConfig
+    cfg = FriConfig(log_blowup=1, log_last_layer=1, n_queries=8,
+                    log_arity=3)
+    inputs = {9: low_degree_committed_evals(8, 1),
+              7: low_degree_committed_evals(6, 1)}
+
+    def digest_of(fuse):
+        monkeypatch.setenv("NZT_FUSE_FRI", fuse)
+        ch = Blake2sChannel()
+        state = fri.fri_commit(dict(inputs), ch, cfg)
+        queries = ch.draw_queries(8, 9)
+        proof = fri.fri_decommit(state, queries)
+        vch = Blake2sChannel()
+        alphas = fri.fri_replay(proof, vch, cfg, list(inputs))
+        ok = fri.fri_check_queries(proof, alphas, queries,
+                                   full_inputs_at(inputs),
+                                   list(inputs), cfg)
+        assert ok
+        return ch.digest
+
+    assert digest_of("1") == digest_of("0")
