@@ -1,13 +1,18 @@
 """Benchmark: RV32 machine proving throughput (trace rows proved/sec).
 
 The driver runs this on real TPU hardware and records the JSON line.
-North-star metric (BASELINE.md): trace rows proved/sec/chip; the
-reference publishes no numbers (BASELINE.json.published = {}), so
-vs_baseline is reported against a fixed nominal target of 100k rows/s
-(the reference CPU prover's order of magnitude on comparable log
-sizes, per prover-benches workloads 2^18-2^20).
+North-star metric (BASELINE.md): trace rows proved/sec/chip at the
+2^16-2^20 ladder (BASELINE.json configs 2); the reference publishes no
+numbers (BASELINE.json.published = {}), so vs_baseline is reported
+against a fixed nominal target of 100k rows/s (the reference CPU
+prover's order of magnitude on comparable log sizes, per prover-benches
+workloads 2^18-2^20).
 
-Usage: python bench.py [--log-size N] [--cpu]
+Default emits ONE JSON line whose headline value is the LARGEST ladder
+size's throughput, with the full ladder (and a keccak-workload line)
+in detail. Usage:
+    python bench.py [--log-size 16,18,20] [--keccak-log 16] [--cpu]
+                    [--machine2] [--segment-log N] [--stream]
 """
 
 import argparse
@@ -45,9 +50,73 @@ def build_workload(log_size: int):
     return k_trace(asm.assemble(src), backend="auto")
 
 
+def build_keccak_workload(log_size: int):
+    """The keccak example guest sized so the keccak AIR component
+    reaches 2^log_size rows (BLOCK rows per permutation) — exercises
+    the bit-decomposed keccak circuit instead of fib padding.
+    Counterpart of the reference keccak ladder
+    (`/root/reference/benchmarks/benches/integration_bench.rs:26-60`)."""
+    from nexus_zkvm_tpu.machine.keccak import BLOCK
+    from nexus_zkvm_tpu.sdk import Guest, encode_u32s
+    from nexus_zkvm_tpu.vm import k_trace
+    n_perm = max(1, (1 << log_size) // BLOCK)
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = open(os.path.join(here, "examples", "guests",
+                            "keccak.s")).read()
+    g = Guest.from_asm(src)
+    # input layout of keccak.s: word[1] = permutation count
+    return k_trace(g.program_words, entry=g.entry,
+                   public_input=encode_u32s(0, n_perm),
+                   backend="python")
+
+
+def run_one(args, prove_machine, verify_machine, builder, log_size):
+    from nexus_zkvm_tpu.utils import profiled
+
+    t0 = time.perf_counter()
+    view, trace = builder(log_size)
+    t_trace = time.perf_counter() - t0
+    n_rows = trace.n_steps
+
+    # warm-up run compiles every kernel (cached for the timed run)
+    proof = prove_machine(view, trace)
+    t0 = time.perf_counter()
+    with profiled() as prof:
+        proof = prove_machine(view, trace)
+    t_prove = time.perf_counter() - t0
+    if args.profile:
+        print(f"--- prove log={log_size} ---", file=sys.stderr)
+        print(prof.report(), file=sys.stderr, flush=True)
+
+    if args.skip_verify:
+        t_verify, ok = 0.0, True
+    else:
+        t0 = time.perf_counter()
+        with profiled() as vprof:
+            ok = verify_machine(view, proof)
+        t_verify = time.perf_counter() - t0
+        if args.profile:
+            print(f"--- verify log={log_size} ---", file=sys.stderr)
+            print(vprof.report(), file=sys.stderr, flush=True)
+    assert ok, "proof failed to verify"
+    return {
+        "n_rows": int(n_rows),
+        "log_size": log_size,
+        "rows_per_sec": round(n_rows / t_prove, 1),
+        "t_trace_s": round(t_trace, 3),
+        "t_prove_s": round(t_prove, 3),
+        "t_verify_s": round(t_verify, 3),
+        "proof_bytes": proof.size_estimate(),
+        "phases": prof.phase_seconds(),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--log-size", type=int, default=16)
+    ap.add_argument("--log-size", type=str, default="16,18,20",
+                    help="comma-separated fib ladder (default 16,18,20)")
+    ap.add_argument("--keccak-log", type=int, default=16,
+                    help="keccak-workload size (0 disables)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (tests/dev)")
     ap.add_argument("--profile", action="store_true",
@@ -81,7 +150,9 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     if args.machine2:
-        assert args.segment_log is None, "segments are a v1 feature"
+        assert args.segment_log is None, \
+            "machine2 bounds component sizes per instruction family " \
+            "instead of segmenting (see machine2/driver.py docstring)"
         from nexus_zkvm_tpu.machine2 import (
             prove_machine2 as prove_machine,
             verify_machine2 as verify_machine)
@@ -93,49 +164,41 @@ def main():
             return _prove(view, trace, segment_log=args.segment_log,
                           stream=args.stream)
 
-    t0 = time.perf_counter()
-    view, trace = build_workload(args.log_size)
-    t_trace = time.perf_counter() - t0
-    n_rows = trace.n_steps
+    sizes = [int(s) for s in args.log_size.split(",") if s]
+    ladder = []
+    for ls in sizes:
+        ladder.append(run_one(args, prove_machine, verify_machine,
+                              build_workload, ls))
+    keccak_entry = None
+    if args.keccak_log and not args.machine2:
+        k = run_one(args, prove_machine, verify_machine,
+                    build_keccak_workload, args.keccak_log)
+        # throughput for the keccak shape = dominant (keccak AIR) rows
+        k["keccak_rows"] = 1 << args.keccak_log
+        k["keccak_rows_per_sec"] = round(
+            (1 << args.keccak_log) / k["t_prove_s"], 1)
+        keccak_entry = k
 
-    from nexus_zkvm_tpu.utils import profiled
-
-    # warm-up run compiles every kernel (cached for the timed run)
-    proof = prove_machine(view, trace)
-    t0 = time.perf_counter()
-    with profiled() as prof:
-        proof = prove_machine(view, trace)
-    t_prove = time.perf_counter() - t0
-    if args.profile:
-        print(prof.report(), file=sys.stderr, flush=True)
-
-    if args.skip_verify:
-        t_verify, ok = 0.0, True
-    else:
-        t0 = time.perf_counter()
-        with profiled() as vprof:
-            ok = verify_machine(view, proof)
-        t_verify = time.perf_counter() - t0
-        if args.profile:
-            print(vprof.report(), file=sys.stderr, flush=True)
-    assert ok, "proof failed to verify"
-
-    rows_per_sec = n_rows / t_prove
+    head = ladder[-1]
+    rows_per_sec = head["rows_per_sec"]
     print(json.dumps({
         "metric": "trace_rows_proved_per_sec",
-        "value": round(rows_per_sec, 1),
+        "value": rows_per_sec,
         "unit": "rows/s",
         "vs_baseline": round(rows_per_sec / NOMINAL_ROWS_PER_SEC, 3),
         "detail": {
-            "n_rows": int(n_rows),
-            "log_size": args.log_size,
-            "t_trace_s": round(t_trace, 3),
-            "t_prove_s": round(t_prove, 3),
-            "t_verify_s": round(t_verify, 3),
-            "proof_bytes": proof.size_estimate(),
+            "headline_log_size": head["log_size"],
             "machine": "machine2" if args.machine2 else "machine",
             "backend": jax.default_backend(),
-            "phases": prof.phase_seconds(),
+            "ladder": ladder,
+            "keccak": keccak_entry,
+            # headline duplicated flat for easy diffing vs r4
+            "n_rows": head["n_rows"],
+            "t_trace_s": head["t_trace_s"],
+            "t_prove_s": head["t_prove_s"],
+            "t_verify_s": head["t_verify_s"],
+            "proof_bytes": head["proof_bytes"],
+            "phases": head["phases"],
         },
     }))
 

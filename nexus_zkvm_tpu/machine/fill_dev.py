@@ -123,10 +123,16 @@ def _host_prep(s, n: int, N: int, view, static_lo, static_hi):
 
 def _hist(idx_list, size: int):
     """Histogram of the given index arrays over [0, size); indices ==
-    size (the mask sentinel) are dropped. Compare-broadcast reduce."""
+    size (the mask sentinel) are dropped.  Small bin counts use a
+    compare-broadcast reduce (no scatter); large tables scatter-add
+    into a padded vector — the compare sweep's bins*values product
+    dominates there (measured on TPU v5e)."""
     x = jnp.stack(idx_list).astype(jnp.int32)
-    iota = jnp.arange(size, dtype=jnp.int32)
     flat = x.reshape(-1)
+    if size > 256:
+        out = jnp.zeros(size + 1, jnp.uint32).at[flat].add(1)
+        return out[:size]
+    iota = jnp.arange(size, dtype=jnp.int32)
     if flat.shape[0] % 128 == 0 and flat.shape[0] >= 1024:
         m = flat.reshape(-1, 128)
         return (m[:, :, None] == iota[None, None, :]) \

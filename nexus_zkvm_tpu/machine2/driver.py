@@ -7,6 +7,18 @@ power-of-two size, stitched by shared LogUp relations.  The memory-side
 components, M-ext / keccak / precompile circuits and lookup tables are
 the exact objects of machine v1 (`machine/driver.py`) — only the CPU
 is split.
+
+Decision record — segments: machine v1 segments an execution into
+several CPU component instances (streaming + bounded component size).
+machine2 deliberately does NOT add a segment axis: the per-family
+split already bounds each component to its opcode population (a
+2^22-step trace yields ~12 components of <= trace size), the shared
+relations make row order irrelevant (so families ARE the split), and
+the memory-bounded composition path (`prover/stark.py
+_composition_big_one`) handles any single large family.  What
+segmenting would add — overlap of host fill with device transfer —
+applies to the host-fill path only and is superseded by moving fills
+on-device (see `machine/fill_dev.py`).
 """
 
 from __future__ import annotations

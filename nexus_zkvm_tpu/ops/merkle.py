@@ -277,38 +277,38 @@ def decommit(tree: MerkleTree, queries) -> MerkleDecommitment:
 def _verify_decommitment_uniform(root, depth: int, n_cols: int, queries,
                                  dec: MerkleDecommitment) -> bool:
     """Uniform-depth fast path: every column committed at the leaf
-    layer (the only shape this framework's trees use).  Hashing runs
-    as one `np_batch_blake2s_words` call per layer over all tracked
-    positions instead of one hashlib call per node."""
-    from .blake2s import np_batch_blake2s_words
+    layer (the only shape this framework's trees use).  Leaf messages
+    are assembled as ONE numpy matrix (the generic path's per-column
+    int/to_bytes loop was the hot spot at ~700 columns); the ~100-node
+    layers hash via hashlib (lower fixed cost than vectorized numpy at
+    this batch size)."""
+    import hashlib
     pos = sorted(set(int(q) for q in queries))
     if len(dec.column_values) != n_cols or n_cols == 0:
         return False
     for cv in dec.column_values:
         if len(cv) != len(pos):
             return False
-    vals = np.stack([np.asarray(cv, np.uint32)
-                     for cv in dec.column_values], axis=1)
-    cur = np_batch_blake2s_words(vals)                     # (P, 8)
+    vals = np.ascontiguousarray(
+        np.stack([np.asarray(cv, dtype="<u4")
+                  for cv in dec.column_values], axis=1))    # (P, C)
+    cur = {p: hashlib.blake2s(vals[i].tobytes()).digest()
+           for i, p in enumerate(pos)}
     sib_iter = iter(dec.sibling_hashes)
     for _d in range(depth, 0, -1):
-        src = {p: cur[i] for i, p in enumerate(pos)}
-        for p in pos:
+        for p in list(cur):
             s = p ^ 1
-            if s not in src:
+            if s not in cur:
                 try:
-                    src[s] = np.asarray(next(sib_iter), np.uint32)
+                    cur[s] = np.asarray(next(sib_iter),
+                                        dtype="<u4").tobytes()
                 except StopIteration:
                     return False
         parents = sorted({p >> 1 for p in pos})
-        msgs = np.empty((len(parents), 16), np.uint32)
-        for j, pp in enumerate(parents):
-            msgs[j, :8] = src[2 * pp]
-            msgs[j, 8:] = src[2 * pp + 1]
-        cur = np_batch_blake2s_words(msgs)
+        cur = {pp: hashlib.blake2s(cur[2 * pp] + cur[2 * pp + 1])
+               .digest() for pp in parents}
         pos = parents
-    return bytes(cur[0].astype("<u4").tobytes()) == \
-        np.asarray(root, dtype="<u4").tobytes()
+    return cur[0] == np.asarray(root, dtype="<u4").tobytes()
 
 
 def verify_decommitment(root, column_lengths, queries,

@@ -116,6 +116,60 @@ def _accumulate_raw(n_samples: int):
     return raw
 
 
+def _accumulate_blocks(n_samples: int, role_sizes):
+    """Gather-free variant of `_accumulate_raw`: the size group's
+    committed columns arrive as whole per-role matrices (contiguous
+    role blocks in canonical order) and every sample uses a FULL-length
+    gamma-coefficient vector with zeros on non-participating columns —
+    numerically identical (zero coefficients are no-op terms) but with
+    no (K, M) gather/concat materialization, which dominated peak HBM
+    at 2^20+."""
+    from .field import m31_mul, m31_add, m31_fold_sum
+
+    def raw(blocks, x_p, y_p, zx, zy, dx, dy, A, B, gcs_full):
+        total = None
+        for s in range(n_samples):
+            vx = qm31_sub(qm31_from_m31(x_p), zx[s])
+            vy = qm31_sub(qm31_from_m31(y_p), zy[s])
+            V = qm31_sub(qm31_mul(dy[s], vx), qm31_mul(dx[s], vy))
+            inv_V = qm31_inv(V)
+            coords = []
+            for t in range(4):
+                acc = None
+                off = 0
+                for role, n in role_sizes:
+                    g = gcs_full[s, off:off + n, t, None]
+                    part = m31_fold_sum(m31_mul(blocks[role], g),
+                                        axis=0)
+                    acc = part if acc is None else m31_add(acc, part)
+                    off += n
+                coords.append(acc)
+            num = jnp.stack(coords, axis=-1)                 # (M, 4)
+            num = qm31_sub(num, qm31_mul_m31(A[s], y_p))
+            num = qm31_sub(num, B[s])
+            contrib = qm31_mul(num, inv_V)
+            total = contrib if total is None else qm31_add(total,
+                                                           contrib)
+        return total
+
+    return raw
+
+
+def prep_args_full(samples, gamma, gamma_offset: int,
+                   k_total: int) -> dict:
+    """`prep_args` plus the scattered full-length coefficient matrix
+    ``gcs_full`` (S, k_total, 4) consumed by `_accumulate_blocks`."""
+    a = prep_args(samples, gamma, gamma_offset)
+    S = len(samples)
+    gcs_full = np.zeros((S, k_total, 4), np.uint32)
+    for si, s in enumerate(samples):
+        if s.columns:
+            gcs_full[si, np.asarray(s.columns, np.int64)] = \
+                a["gcs"][si][: len(s.columns)]
+    a["gcs_full"] = gcs_full
+    return a
+
+
 def prep_args(samples, gamma, gamma_offset: int = 0) -> dict:
     """Host precompute of one size group's sample constants (tiny
     numpy): denominator lines, gamma-weighted numerator coefficients,

@@ -468,12 +468,20 @@ def _lde_nat_ext(cols, ev_log: int, halo, row_range=None,
     offsets with plain dynamic slices (ext position p = natural row
     (lo + p - hneg) mod M)."""
     from ..utils.progstore import aot_call
+    from ..utils.devcache import dev_const
     hneg, hpos = halo
-    nat = natural_to_layout(ev_log)
     M = 1 << ev_log
     lo, hi = (0, M) if row_range is None else row_range
-    rows = (np.arange(lo - hneg, hi + hpos, dtype=np.int64)) % M
-    idx = nat[rows]
+
+    def build_idx():
+        nat = natural_to_layout(ev_log)
+        rows = np.arange(lo - hneg, hi + hpos, dtype=np.int64) % M
+        return nat[rows].astype(np.int32)
+
+    # device-cached: this (2^ev + halo) index vector used to be
+    # re-shipped per chunk call (~0.5 GB/prove over the tunnel at 2^20)
+    idx = dev_const(("stark.lde_nat_idx", ev_log, hneg, hpos, lo, hi),
+                    build_idx)
     cols = jnp.asarray(cols)
     C = int(cols.shape[0])
     rows_per = max(1, int(max_bytes) // ((1 << ev_log) * 4))
@@ -492,7 +500,7 @@ def _lde_nat_ext(cols, ev_log: int, halo, row_range=None,
     for clo in range(0, C, rows_per):
         out.append(aot_call(("stark.lde_nat_ext", ev_log, hneg, hpos,
                              hi - lo, qm31), body,
-                            cols[clo:clo + rows_per], jnp.asarray(idx)))
+                            cols[clo:clo + rows_per], idx))
     return out
 
 
@@ -878,57 +886,65 @@ def prove(components, log_sizes, main_traces, channel,
                        claimed_sums, alpha, z, sampled, rcs,
                        comp_accs_dbg)
 
+    # coefficient batches served composition + OODS sampling; the
+    # phases below (quotients, FRI, openings) read committed evals and
+    # trees only — drop ~2 GB at 2^20 before the FRI peak
+    if not _selftest:
+        for rc in rcs.values():
+            if rc is not None:
+                rc.coeff_batches = None
+
     # -- quotients + FRI ----------------------------------------------------
     with scope("quotients"):
         gamma = np.asarray(channel.draw_felt(), np.uint64)
         with scope("q:samples"):
             samples_by_size = _build_samples(plan, z, sampled)
-        # EVERY size group's gather + accumulation in ONE stored
-        # program: per-size dispatches each cost a handful of argument
-        # round trips over the tunneled link (~0.5s/size measured)
+        # EVERY size group's accumulation in ONE stored program, with
+        # whole per-role eval matrices consumed in place (no gathers /
+        # concats — those materialized multi-GB copies at 2^20+; see
+        # `quotients._accumulate_blocks`)
         from ..ops.circle import dev_committed_points
         sizes_desc = sorted(plan.groups, reverse=True)
         spec, np_args, evals_args, pts = [], {}, {}, {}
         offset = 0
         for s in sizes_desc:
-            part_roles = []
+            role_sizes = []
+            role_ridxs = {}
             for i in plan.groups[s]:
                 m = plan.metas[i]
-                if not part_roles or part_roles[-1][0] != m.role:
-                    part_roles.append((m.role, []))
-                part_roles[-1][1].append(m.ridx)
-            sel = []
-            for role, ridxs in part_roles:
-                rc = rcs[role]
-                rows = tuple(rc.cols_by_size[s].index(r) for r in ridxs)
-                sel.append((role, rows))
-            spec.append((s, tuple(sel), len(samples_by_size[s])))
-            np_args[str(s)] = quotients.prep_args(samples_by_size[s],
-                                                  gamma, offset)
+                if not role_sizes or role_sizes[-1][0] != m.role:
+                    role_sizes.append([m.role, 0])
+                role_sizes[-1][1] += 1
+                role_ridxs.setdefault(m.role, []).append(m.ridx)
+            role_sizes = tuple((r, n) for r, n in role_sizes)
+            # the group enumerates every column of each role at this
+            # size in commit order, so role blocks are the complete
+            # eval matrices — assert and consume them whole
+            for role, _n in role_sizes:
+                assert role_ridxs[role] == rcs[role].cols_by_size[s], \
+                    (role, s)
+            k_total = len(plan.groups[s])
+            spec.append((s, role_sizes, len(samples_by_size[s])))
+            np_args[str(s)] = quotients.prep_args_full(
+                samples_by_size[s], gamma, offset, k_total)
             pts[str(s)] = dev_committed_points(s)
             evals_args[str(s)] = {role: rcs[role].evals[s]
-                                  for role, _ in sel}
+                                  for role, _n in role_sizes}
             offset += quotients.n_terms(samples_by_size[s])
 
         def q_body(evals_args, pts, np_args):
             out = {}
-            for s_, sel, S in spec:
-                parts = []
-                for role, rows in sel:
-                    ridx = jnp.asarray(np.asarray(rows, np.int64))
-                    parts.append(evals_args[str(s_)][role][ridx])
-                cols = (parts[0] if len(parts) == 1
-                        else jnp.concatenate(parts))
+            for s_, role_sizes, S in spec:
                 a = np_args[str(s_)]
-                raw = quotients._accumulate_raw(S)
-                out[str(s_)] = raw(cols, pts[str(s_)][0],
-                                   pts[str(s_)][1], a["zx"], a["zy"],
-                                   a["dx"], a["dy"], a["A"], a["B"],
-                                   a["gcs"], a["idx"])
+                raw = quotients._accumulate_blocks(S, role_sizes)
+                out[str(s_)] = raw(evals_args[str(s_)],
+                                   pts[str(s_)][0], pts[str(s_)][1],
+                                   a["zx"], a["zy"], a["dx"], a["dy"],
+                                   a["A"], a["B"], a["gcs_full"])
             return out
 
         from ..utils.progstore import aot_call as _aot
-        outs = _aot(("stark.quotients", tuple(spec)), q_body,
+        outs = _aot(("stark.quotients2", tuple(spec)), q_body,
                     evals_args, pts, np_args)
         fri_inputs = {s: outs[str(s)] for s in sizes_desc}
     with scope("fri"):

@@ -98,7 +98,11 @@ def test_quotients_low_degree_and_parity():
                                  inputs_at, [s], cfg)
 
 
-def test_wrong_claimed_value_is_high_degree():
+def test_wrong_claimed_value_is_high_degree(monkeypatch):
+    # a wrong OODS claim makes the quotient non-polynomial: the honest
+    # prover's degree check trips; a malicious prover that truncates
+    # anyway (NZT_FRI_UNSAFE_TRUNCATE) is rejected by the verifier
+    monkeypatch.setenv("NZT_FRI_UNSAFE_TRUNCATE", "1")
     log_n, log_blowup = 6, 1
     s = log_n + log_blowup
     c = RNG.integers(0, P, size=1 << log_n, dtype=np.uint32)
