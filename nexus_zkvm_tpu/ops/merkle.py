@@ -256,6 +256,24 @@ def decommit_async(tree: MerkleTree, queries) -> PendingDecommitment:
     return PendingDecommitment(vals_dev, col_vals, sib_rows)
 
 
+def decommit_async_with_values(tree: MerkleTree, queries,
+                               vals_dev) -> PendingDecommitment:
+    """Opening for a STREAMED tree (no resident eval matrix): the
+    caller supplies the (C, Q) opened-value matrix (recomputed from
+    coefficients); sibling digests come from the kept layers."""
+    queries = sorted(set(int(q) for q in queries))
+    sib_rows = []
+    pos = queries
+    for d in range(tree.max_depth, 0, -1):
+        pos_set = set(pos)
+        sibs = [p ^ 1 for p in pos if (p ^ 1) not in pos_set]
+        if sibs:
+            idx = jnp.asarray(np.asarray(sibs, np.int64))
+            sib_rows.append(jnp.asarray(tree.layers[d])[idx])
+        pos = sorted({p >> 1 for p in pos})
+    return PendingDecommitment(vals_dev, [], sib_rows)
+
+
 def finalize_decommitments(pendings) -> list:
     """Materialize many PendingDecommitments with one device_get."""
     import jax

@@ -155,6 +155,44 @@ def _accumulate_blocks(n_samples: int, role_sizes):
     return raw
 
 
+def colsum_fold(n_samples: int):
+    """Chunk step of the streamed quotient path: fold a (c, M)
+    committed-order eval block into the per-sample numerator column
+    sums.  acc: (S, M, 4); gcs_chunk: (S, c, 4) gamma coefficients of
+    exactly these columns."""
+    from .field import m31_mul, m31_fold_sum
+
+    def raw(acc, block, gcs_chunk):
+        outs = []
+        for i in range(n_samples):
+            coords = [m31_fold_sum(m31_mul(block,
+                                           gcs_chunk[i, :, t, None]),
+                                   axis=0) for t in range(4)]
+            outs.append(jnp.stack(coords, axis=-1))
+        return qm31_add(acc, jnp.stack(outs))
+
+    return raw
+
+
+def colsum_finalize(n_samples: int):
+    """Final step of the streamed quotient path: identical math to
+    `_accumulate_blocks` with the column sums precomputed."""
+    def raw(acc, x_p, y_p, zx, zy, dx, dy, A, B):
+        total = None
+        for i in range(n_samples):
+            vx = qm31_sub(qm31_from_m31(x_p), zx[i])
+            vy = qm31_sub(qm31_from_m31(y_p), zy[i])
+            V = qm31_sub(qm31_mul(dy[i], vx), qm31_mul(dx[i], vy))
+            num = qm31_sub(acc[i], qm31_mul_m31(A[i], y_p))
+            num = qm31_sub(num, B[i])
+            contrib = qm31_mul(num, qm31_inv(V))
+            total = contrib if total is None else qm31_add(total,
+                                                           contrib)
+        return total
+
+    return raw
+
+
 def prep_args_full(samples, gamma, gamma_offset: int,
                    k_total: int) -> dict:
     """`prep_args` plus the scattered full-length coefficient matrix

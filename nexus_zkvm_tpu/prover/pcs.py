@@ -147,7 +147,85 @@ def _fused_lde_commit(batch, n: int, s: int):
     return ev, tree
 
 
+def _stream_threshold() -> int:
+    """Eval matrices above this byte size are committed in column
+    chunks and NOT kept resident (quotients/openings recompute from
+    coefficients) — the 2^22+ single-chip memory mode."""
+    import os
+    return int(os.environ.get("NZT_STREAM_COMMIT_BYTES",
+                              str(4 << 30)))
+
+
+def _stream_commit(batch, n: int, s: int, chunk_cols: int = 64):
+    """Column-streamed LDE + Merkle commit: leaf digests are built by
+    carrying the Blake2s state across column chunks (each chunk = a
+    whole number of 16-word message blocks), so the (C, 2^s) eval
+    matrix never exists at once.  Root/digest-identical to
+    `merkle.commit_matrix(evaluate(batch)[:, brev])`."""
+    import functools
+    from ..utils.progstore import aot_call
+    from ..ops.blake2s import batch_compress, initial_state
+    assert chunk_cols % 16 == 0
+    C = int(batch.shape[0])
+    M = 1 << s
+    nbytes_msg = 4 * C
+
+    def run_blocks(state, msg, c, done, last):
+        nb = -(-c // 16) if last else c // 16
+        for b in range(nb):
+            blk = msg[:, 16 * b: 16 * (b + 1)]
+            pad = 16 - int(blk.shape[1])
+            if pad:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((M, pad), jnp.uint32)], axis=1)
+            final = last and b == nb - 1
+            t = nbytes_msg if final else 4 * (done + 16 * (b + 1))
+            state = batch_compress(state, blk, t, final)
+        return state
+
+    state = None
+    done = 0
+    while done < C:
+        c = min(chunk_cols, C - done)
+        last = done + c == C
+
+        def body0(chunk, brev, _c=c, _done=done, _last=last):
+            ev = cfft.evaluate(chunk, s)[:, brev]
+            st = jnp.broadcast_to(jnp.asarray(initial_state()), (M, 8))
+            return run_blocks(st, ev.T, _c, _done, _last)
+
+        def bodyn(st, chunk, brev, _c=c, _done=done, _last=last):
+            ev = cfft.evaluate(chunk, s)[:, brev]
+            return run_blocks(st, ev.T, _c, _done, _last)
+
+        chunk = batch[done: done + c]
+        brev = dev_bit_reverse(s)
+        if state is None:
+            state = aot_call(("pcs.stream_leaf0", s, c, done, last, C),
+                             body0, chunk, brev)
+        else:
+            state = aot_call(("pcs.stream_leaf", s, c, done, last, C),
+                             bodyn, state, chunk, brev)
+        done += c
+
+    # climb from the leaf digests (fused blocks, as commit_matrix)
+    layers = [None] * (s + 1)
+    layers[s] = state
+    x, top = state, s - 1
+    blk_n = merkle._climb_block_size()
+    while top >= 0:
+        n_blk = min(blk_n, top + 1)
+        out = merkle._climb_block(False, top, n_blk)(x)
+        for i, arr in enumerate(out):
+            layers[top - i] = arr
+        x = out[-1]
+        top -= n_blk
+    return merkle.MerkleTree(layers=layers, columns=[],
+                             by_depth={s: list(range(C))}, matrix=None)
+
+
 def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
+    from ..parallel.context import active_mesh
     cols_by_size, evals, trees = {}, {}, {}
     for i in range(len(trace_logs)):
         s = trace_logs[i] + log_blowup
@@ -156,6 +234,11 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
         n = s - log_blowup
         b_idxs, batch = coeff_batches[n]
         assert b_idxs == idxs
+        nbytes = len(idxs) * (1 << s) * 4
+        if nbytes > _stream_threshold() and active_mesh() is None:
+            trees[s] = _stream_commit(batch, n, s)
+            evals[s] = None                # recompute-on-demand mode
+            continue
         fused = _fused_lde_commit(batch, n, s)
         if fused is not None:
             evals[s], trees[s] = fused
@@ -169,6 +252,30 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
                           coeff_batches=coeff_batches,
                           evals=evals, cols_by_size=cols_by_size,
                           trees=trees)
+
+
+def opened_values_streamed(rc: "RoleCommitment", s: int, positions,
+                           chunk_cols: int = 64):
+    """(C, Q) opened values of a STREAMED tree, recomputed from the
+    coefficient batch by column-chunked LDE + position gather."""
+    from ..utils.progstore import aot_call
+    from ..utils.devcache import dev_const
+    n = s - rc.log_blowup
+    _idxs, batch = rc.coeff_batches[n]
+    pos = np.asarray(sorted(set(int(p) for p in positions)), np.int64)
+    idx = dev_const(("pcs.open_idx", s, tuple(pos.tolist())),
+                    lambda: bit_reverse_indices(s)[pos]
+                    .astype(np.int32))
+
+    def body(chunk, idx):
+        return cfft.evaluate(chunk, s)[:, idx]
+
+    C = int(batch.shape[0])
+    outs = []
+    for lo in range(0, C, chunk_cols):
+        outs.append(aot_call(("pcs.stream_open", s, len(pos)), body,
+                             batch[lo: lo + chunk_cols], idx))
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
 def _ship(batch: np.ndarray):

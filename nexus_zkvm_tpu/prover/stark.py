@@ -888,10 +888,15 @@ def prove(components, log_sizes, main_traces, channel,
 
     # coefficient batches served composition + OODS sampling; the
     # phases below (quotients, FRI, openings) read committed evals and
-    # trees only — drop ~2 GB at 2^20 before the FRI peak
+    # trees only — drop ~2 GB at 2^20 before the FRI peak.  Roles with
+    # STREAMED sizes (evals never materialized, 2^22+ memory mode)
+    # keep theirs: quotients and openings recompute from coefficients.
+    def _has_streamed(rc):
+        return rc is not None and any(v is None for v in
+                                      rc.evals.values())
     if not _selftest:
         for rc in rcs.values():
-            if rc is not None:
+            if rc is not None and not _has_streamed(rc):
                 rc.coeff_batches = None
 
     # -- quotients + FRI ----------------------------------------------------
@@ -932,9 +937,16 @@ def prove(components, log_sizes, main_traces, channel,
                                   for role, _n in role_sizes}
             offset += quotients.n_terms(samples_by_size[s])
 
+        # streamed sizes (any role with evals[s] None) run a chunked
+        # accumulate-from-coefficients path instead of the fused body
+        streamed = {s_ for s_, role_sizes, _S in spec
+                    if any(rcs[r].evals[s_] is None
+                           for r, _n in role_sizes)}
+        kept_spec = tuple(e for e in spec if e[0] not in streamed)
+
         def q_body(evals_args, pts, np_args):
             out = {}
-            for s_, role_sizes, S in spec:
+            for s_, role_sizes, S in kept_spec:
                 a = np_args[str(s_)]
                 raw = quotients._accumulate_blocks(S, role_sizes)
                 out[str(s_)] = raw(evals_args[str(s_)],
@@ -944,12 +956,27 @@ def prove(components, log_sizes, main_traces, channel,
             return out
 
         from ..utils.progstore import aot_call as _aot
-        outs = _aot(("stark.quotients2", tuple(spec)), q_body,
-                    evals_args, pts, np_args)
-        fri_inputs = {s: outs[str(s)] for s in sizes_desc}
+        fri_inputs = {}
+        if kept_spec:
+            kept_evals = {str(s_): evals_args[str(s_)]
+                          for s_, _rs, _S in kept_spec}
+            kept_pts = {str(s_): pts[str(s_)] for s_, _rs, _S in
+                        kept_spec}
+            kept_np = {str(s_): np_args[str(s_)] for s_, _rs, _S in
+                       kept_spec}
+            outs = _aot(("stark.quotients2", kept_spec), q_body,
+                        kept_evals, kept_pts, kept_np)
+            fri_inputs.update({s_: outs[str(s_)] for s_, _rs, _S in
+                               kept_spec})
+        for s_, role_sizes, S in spec:
+            if s_ not in streamed:
+                continue
+            fri_inputs[s_] = _quotients_streamed(
+                rcs, s_, role_sizes, S, np_args[str(s_)], pts[str(s_)],
+                config.fri.log_blowup)
     with scope("fri"):
         fri_state = fri.fri_commit(fri_inputs, channel, config.fri)
-        del fri_inputs, outs           # consumed; free before openings
+        del fri_inputs                 # consumed; free before openings
 
     # -- PoW + queries + openings ------------------------------------------
     with scope("pow"):
@@ -962,6 +989,8 @@ def prove(components, log_sizes, main_traces, channel,
         from ..parallel.context import active_mesh
         openings, roots = {}, {}
         items, labels = [], []
+        pend_by_key = {}
+        key_order = []
         for role, rc in rcs.items():
             if rc is None:
                 roots[role] = []
@@ -970,9 +999,16 @@ def prove(components, log_sizes, main_traces, channel,
             roots[role] = rc.roots()
             openings[role] = []
             for s in rc.sizes_desc():
-                items.append((rc.trees[s],
-                              pcs.open_positions(queries, s0, s)))
-                labels.append((role, s))
+                positions = pcs.open_positions(queries, s0, s)
+                key_order.append((role, s))
+                if rc.evals.get(s) is None:      # streamed tree
+                    vals = pcs.opened_values_streamed(rc, s, positions)
+                    pend_by_key[(role, s)] = \
+                        merkle.decommit_async_with_values(
+                            rc.trees[s], positions, vals)
+                else:
+                    items.append((rc.trees[s], positions))
+                    labels.append((role, s))
         fri_items = fri.fri_decommit_items(fri_state, queries)
         if active_mesh() is None:
             pend_flat = merkle.decommit_many_fused(
@@ -980,11 +1016,15 @@ def prove(components, log_sizes, main_traces, channel,
         else:
             pend_flat = [merkle.decommit_async(it[0], it[1])
                          for it in items + fri_items]
-        final = merkle.finalize_decommitments(pend_flat)
-        for (role, s), d in zip(labels, final[: len(labels)]):
-            openings[role].append((s, d))
+        for key, pend in zip(labels, pend_flat[: len(labels)]):
+            pend_by_key[key] = pend
+        all_pends = [pend_by_key[k] for k in key_order] \
+            + list(pend_flat[len(labels):])
+        final = merkle.finalize_decommitments(all_pends)
+        for key, d in zip(key_order, final[: len(key_order)]):
+            openings[key[0]].append((key[1], d))
         fri_proof = fri.fri_proof_from_decs(fri_state,
-                                            final[len(labels):])
+                                            final[len(key_order):])
 
     return Proof(log_sizes=list(log_sizes), roots=roots,
                  claimed_sums=claimed_sums, sampled=sampled,
@@ -1167,6 +1207,47 @@ def _selftest_per_constraint(comp, info, plan, log_sizes, c, relations,
 # ---------------------------------------------------------------------------
 # Verify
 # ---------------------------------------------------------------------------
+
+def _quotients_streamed(rcs, s, role_sizes, S, np_a, pts, blowup,
+                        chunk_cols: int = 64):
+    """Quotient accumulation for a size group with streamed commits:
+    per-sample column sums are accumulated role by role — kept roles
+    in one fold, streamed roles by chunked LDE-from-coefficients —
+    then finalized (denominator lines) in one program.  Numerically
+    identical to `quotients._accumulate_blocks`."""
+    from ..utils.progstore import aot_call
+    from ..ops.circle import dev_bit_reverse
+    M = 1 << s
+    acc = jnp.zeros((S, M, 4), jnp.uint32)
+    gcs_full = np_a["gcs_full"]                    # (S, K, 4)
+    fold = quotients.colsum_fold(S)
+    off = 0
+    for role, nrole in role_sizes:
+        rc = rcs[role]
+        if rc.evals.get(s) is not None:
+            acc = aot_call(("stark.qs_fold", s, S), fold, acc,
+                           rc.evals[s], gcs_full[:, off:off + nrole])
+        else:
+            n = s - blowup
+            _i, batch = rc.coeff_batches[n]
+            C = int(batch.shape[0])
+
+            def body(acc, chunk, gcs_c, brev):
+                ev = cfft.evaluate(chunk, s)[:, brev]
+                return fold(acc, ev, gcs_c)
+
+            for lo in range(0, C, chunk_cols):
+                hi = min(C, lo + chunk_cols)
+                acc = aot_call(("stark.qs_fold_lde", s, S), body, acc,
+                               batch[lo:hi],
+                               gcs_full[:, off + lo:off + hi],
+                               dev_bit_reverse(s))
+        off += nrole
+    fin = quotients.colsum_finalize(S)
+    return aot_call(("stark.qs_final", s, S), fin, acc, pts[0],
+                    pts[1], np_a["zx"], np_a["zy"], np_a["dx"],
+                    np_a["dy"], np_a["A"], np_a["B"])
+
 
 _PRE_ROOTS_CACHE: dict = {}
 

@@ -118,3 +118,30 @@ def test_unbalanced_lookup_rejected():
     traces[1][1][0] += 1  # multiset mismatch -> claimed sums don't cancel
     bad_proof = prove(COMPONENTS, LOG_SIZES, traces, Blake2sChannel(), CFG)
     assert not verify(COMPONENTS, bad_proof, Blake2sChannel(), CFG)
+
+
+def test_streamed_commit_proof_identical(monkeypatch):
+    """The 2^22+ memory mode — column-streamed commits with
+    recompute-from-coefficients quotients and openings — produces the
+    EXACT proof of the resident-evals path (same roots, same
+    transcript, same openings) and verifies."""
+    def tree_eq(a, b):
+        if isinstance(a, dict):
+            return set(a) == set(b) and all(tree_eq(a[k], b[k])
+                                            for k in a)
+        if isinstance(a, (list, tuple)):
+            return len(a) == len(b) and all(tree_eq(u, v)
+                                            for u, v in zip(a, b))
+        if hasattr(a, "__dict__"):
+            return tree_eq(vars(a), vars(b))
+        if hasattr(a, "shape"):
+            return np.array_equal(np.asarray(a), np.asarray(b))
+        return a == b
+
+    p1 = prove(COMPONENTS, LOG_SIZES, make_traces(), Blake2sChannel(),
+               CFG)
+    monkeypatch.setenv("NZT_STREAM_COMMIT_BYTES", "256")
+    p2 = prove(COMPONENTS, LOG_SIZES, make_traces(), Blake2sChannel(),
+               CFG)
+    assert tree_eq(p1, p2)
+    assert verify(COMPONENTS, p2, Blake2sChannel(), CFG)
