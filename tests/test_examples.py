@@ -223,3 +223,66 @@ def test_fib1000():
         a, b = b, (a + b) & 0xFFFFFFFF
     assert decode_u32s(view.public_output, 1) == [a]
     check_machine(view, trace)
+
+
+def test_interp():
+    """Stack-machine interpreter guest (the lambda_calculus-class
+    irregular workload, ref `examples/src/bin/lambda_calculus.rs`):
+    computes 10! through interpreted PUSH/MUL bytecode."""
+    P_, A, S, M, D, W, J, H = range(8)
+
+    def op(code, imm=0):
+        return code | (imm << 8)
+
+    prog = [op(P_, 1)]
+    for i in range(10, 0, -1):
+        prog += [op(P_, i), op(M)]
+    prog += [op(H)]
+    view, trace = run("interp.s", encode_u32s(len(prog), *prog))
+    assert view.exit_code == 0
+    depth, top = decode_u32s(view.public_output, 2)
+    assert depth == 1 and top == 3628800
+    check_machine(view, trace)
+
+
+def test_interp_jnz():
+    """Interpreter branch coverage: one taken and one not-taken JNZ
+    (data-dependent jumps through the dispatch loop)."""
+    P_, A, S, M, D, W, J, H = range(8)
+
+    def op(code, imm=0):
+        return code | (imm << 8)
+
+    prog = [
+        op(P_, 42),         # 0: [42]
+        op(P_, 1),          # 1: [42, 1]
+        op(J, 4),           # 2: pop 1 -> taken, jump to 4
+        op(H),              # 3: skipped
+        op(P_, 0),          # 4: [42, 0]
+        op(J, 3),           # 5: pop 0 -> not taken
+        op(H),              # 6: halt; stack [42]
+    ]
+    view, trace = run("interp.s", encode_u32s(len(prog), *prog))
+    assert view.exit_code == 0
+    depth, top = decode_u32s(view.public_output, 2)
+    assert depth == 1 and top == 42
+    check_machine(view, trace)
+
+
+def test_keccak_input_guest():
+    """IO + custom-instruction combined guest (ref
+    `examples/src/bin/io/keccak_input.rs`): absorb input words, one
+    keccak-f[1600], output the first 4 state words."""
+    from nexus_zkvm_tpu.vm.keccak import keccak_f1600_words
+    words = [0xDEADBEEF, 0x12345678, 7, 0, 0xFFFFFFFF]
+    view, trace = run("keccak_input.s",
+                      encode_u32s(len(words), *words),
+                      backend="python")
+    assert view.exit_code == 0
+    st = [0] * 50
+    for i, w in enumerate(words):
+        st[i] ^= w
+    st = keccak_f1600_words(st)
+    assert decode_u32s(view.public_output, 4) == \
+        [st[0], st[1], st[2], st[3]]
+    check_machine(view, trace)
