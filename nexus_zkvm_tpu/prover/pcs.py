@@ -147,6 +147,42 @@ def _fused_lde_commit(batch, n: int, s: int):
     return ev, tree
 
 
+_UPD_JIT: dict = {}
+
+
+def _donated_set_rows(buf, chunk, lo: int):
+    """buf[lo:lo+k] = chunk with the buffer DONATED — an in-place
+    row-block write on device (no second multi-GB allocation), used to
+    assemble large batches incrementally."""
+    import jax
+    key = (tuple(buf.shape), tuple(chunk.shape), lo, str(buf.dtype))
+    f = _UPD_JIT.get(key)
+    if f is None:
+        f = jax.jit(lambda b, c: jax.lax.dynamic_update_slice(
+            b, c, (lo, 0)), donate_argnums=(0,))
+        _UPD_JIT[key] = f
+    return f(buf, chunk)
+
+
+def _interpolate_big(dev, n: int, chunk_rows: int = 32):
+    """Column-chunked interpolation into a donated coefficient buffer:
+    peak extra memory is one chunk's working set instead of a second
+    full-size matrix."""
+    from ..ops import cfft as _cfft
+    from ..utils.progstore import aot_call
+    C = int(dev.shape[0])
+    cf = jnp.zeros((C, 1 << n), jnp.uint32)
+
+    def body(x, idx):
+        return _cfft.interpolate(x[:, idx])
+
+    for lo in range(0, C, chunk_rows):
+        cc = aot_call(("pcs.interp_chunk", n), body,
+                      dev[lo: lo + chunk_rows], dev_layout_to_natural(n))
+        cf = _donated_set_rows(cf, cc, lo)
+    return cf
+
+
 def _stream_threshold() -> int:
     """Eval matrices above this byte size are committed in column
     chunks and NOT kept resident (quotients/openings recompute from
@@ -391,10 +427,14 @@ def commit_columns(role: str, columns, trace_logs, log_blowup: int,
             # never bounce them through the host
             dev = jnp.stack([jnp.asarray(c, jnp.uint32)
                              for c in cols_n])
+        from ..parallel.context import active_mesh
         dev = shard_rows(dev)      # active mesh: rows over devices
         if keep_natural:
             natural[n] = (idxs, dev)
-        cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
+        if dev.size * 4 > _stream_threshold() and active_mesh() is None:
+            cf = _interpolate_big(dev, n)
+        else:
+            cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
         coeff_batches[n] = (idxs, cf)
     rc = _commit_groups(role, trace_logs, coeff_batches, log_blowup)
     rc.natural = natural
@@ -422,12 +462,33 @@ def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
         k = int(b.shape[0])
         idxs_by_n.setdefault(n, []).extend(range(pos, pos + k))
         pos += k
+    del b
+    if isinstance(blocks, list):
+        blocks.clear()          # ownership: by_n holds the only refs
+    from ..parallel.context import active_mesh
     coeff_batches, natural = {}, {}
     for n, mats in by_n.items():
+        C_tot = sum(int(m.shape[0]) for m in mats)
+        big = (C_tot * (1 << n) * 4 > _stream_threshold()
+               and active_mesh() is None)
         if all(isinstance(m, np.ndarray) for m in mats):
             # host side: one stacked downcast transfer for the size
             dev = _ship(np.concatenate(mats) if len(mats) > 1
                         else mats[0])
+        elif big and len(mats) > 1:
+            # assemble the size group into ONE donated buffer, freeing
+            # each source block as it lands (peak = buf + one block
+            # instead of 2x the group)
+            dev = jnp.zeros((C_tot, 1 << n), jnp.uint32)
+            lo = 0
+            for mi in range(len(mats)):
+                m = mats[mi]
+                m = _ship(m) if isinstance(m, np.ndarray) \
+                    else jnp.asarray(m, jnp.uint32)
+                dev = _donated_set_rows(dev, m, lo)
+                lo += int(m.shape[0])
+                mats[mi] = None
+            by_n[n] = None
         else:
             mats = [_ship(m) if isinstance(m, np.ndarray)
                     else jnp.asarray(m, jnp.uint32) for m in mats]
@@ -435,7 +496,10 @@ def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
         dev = shard_rows(dev)
         if keep_natural:
             natural[n] = (idxs_by_n[n], dev)
-        cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
+        if big:
+            cf = _interpolate_big(dev, n)
+        else:
+            cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
         coeff_batches[n] = (idxs_by_n[n], cf)
     rc = _commit_groups(role, trace_logs, coeff_batches, log_blowup)
     rc.natural = natural

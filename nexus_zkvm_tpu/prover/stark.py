@@ -722,6 +722,10 @@ def prove(components, log_sizes, main_traces, channel,
         blocks, block_logs = [], []
         for c in range(len(components)):
             tr = main_traces[c]
+            # ownership transfer: commit_blocks consumes the blocks
+            # (clearing refs lets the donated-assembly path free each
+            # source matrix as it lands in the size-group buffer)
+            main_traces[c] = None
             if hasattr(tr, "ndim") and tr.ndim == 2:
                 assert tr.shape == (infos[c].n_main,
                                     1 << log_sizes[c])
@@ -739,6 +743,7 @@ def prove(components, log_sizes, main_traces, channel,
                             [jnp.asarray(col, jnp.uint32) for col in tr]))
             block_logs.append(log_sizes[c])
         rc_main = pcs.commit_blocks("main", blocks, block_logs, blowup)
+        del blocks, tr
         rc_main.mix_roots(channel)
 
     # -- relations + tree 2: interaction ---------------------------------
