@@ -242,7 +242,8 @@ def _memside_emits(ram_fill, out_fill):
 
 
 def build_machine_traces(view, trace, segment_log: int | None = None,
-                         stream: bool = False):
+                         stream: bool = False,
+                         min_cpu_log: int | None = None):
     """(View, Trace) -> (components, log_sizes, main column lists).
 
     The complete vectorized fill for every component — shared by the
@@ -274,7 +275,8 @@ def build_machine_traces(view, trace, segment_log: int | None = None,
     cpu_dev = []                 # per-segment device matrix
     cpu_dev_counts = []          # per-segment device table histograms
     for seg in segs:
-        log = _clog2(len(seg.steps["clk"]), lo=4)
+        log = _clog2(len(seg.steps["clk"]),
+                     lo=4 if min_cpu_log is None else min_cpu_log)
         if use_dev:
             # device fill: ships the (masked) step record and derives
             # every column + table histogram on device; dispatch is

@@ -176,10 +176,14 @@ def _interpolate_big(dev, n: int, chunk_rows: int = 32):
     def body(x, idx):
         return _cfft.interpolate(x[:, idx])
 
-    for lo in range(0, C, chunk_rows):
+    for ci, lo in enumerate(range(0, C, chunk_rows)):
         cc = aot_call(("pcs.interp_chunk", n), body,
                       dev[lo: lo + chunk_rows], dev_layout_to_natural(n))
         cf = _donated_set_rows(cf, cc, lo)
+        if ci % 4 == 3:
+            # bound the in-flight working set: async dispatch would
+            # otherwise keep every pending chunk's buffers live at once
+            cf.block_until_ready()
     return cf
 
 
@@ -189,7 +193,7 @@ def _stream_threshold() -> int:
     coefficients) — the 2^22+ single-chip memory mode."""
     import os
     return int(os.environ.get("NZT_STREAM_COMMIT_BYTES",
-                              str(4 << 30)))
+                              str(2 << 30)))
 
 
 def _stream_commit(batch, n: int, s: int, chunk_cols: int = 64):
@@ -243,6 +247,8 @@ def _stream_commit(batch, n: int, s: int, chunk_cols: int = 64):
             state = aot_call(("pcs.stream_leaf", s, c, done, last, C),
                              bodyn, state, chunk, brev)
         done += c
+        if (done // chunk_cols) % 4 == 0:
+            state.block_until_ready()      # bound in-flight LDE chunks
 
     # climb from the leaf digests (fused blocks, as commit_matrix)
     layers = [None] * (s + 1)
@@ -467,10 +473,16 @@ def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
         blocks.clear()          # ownership: by_n holds the only refs
     from ..parallel.context import active_mesh
     coeff_batches, natural = {}, {}
+    import os as _os
+    _dbg = _os.environ.get("NZT_MEM_DEBUG")
     for n, mats in by_n.items():
         C_tot = sum(int(m.shape[0]) for m in mats)
         big = (C_tot * (1 << n) * 4 > _stream_threshold()
                and active_mesh() is None)
+        if _dbg:
+            print(f"[commit:{role}] n={n} C={C_tot} "
+                  f"bytes={C_tot * (1 << n) * 4} big={big}",
+                  flush=True)
         if all(isinstance(m, np.ndarray) for m in mats):
             # host side: one stacked downcast transfer for the size
             dev = _ship(np.concatenate(mats) if len(mats) > 1
@@ -488,11 +500,15 @@ def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
                 dev = _donated_set_rows(dev, m, lo)
                 lo += int(m.shape[0])
                 mats[mi] = None
+                del m
+                dev.block_until_ready()   # free the source before the next
             by_n[n] = None
         else:
             mats = [_ship(m) if isinstance(m, np.ndarray)
                     else jnp.asarray(m, jnp.uint32) for m in mats]
             dev = mats[0] if len(mats) == 1 else jnp.concatenate(mats)
+            by_n[n] = None         # release source blocks
+            del mats
         dev = shard_rows(dev)
         if keep_natural:
             natural[n] = (idxs_by_n[n], dev)

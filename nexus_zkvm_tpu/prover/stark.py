@@ -315,6 +315,40 @@ def _interactions_fused(components, infos, plan, log_sizes, relations,
                     params_all)
 
 
+def _interactions_per_component(components, infos, plan, log_sizes,
+                                relations, rc_pre, rc_main):
+    """Big-trace fallback for `_interactions_fused`: one stored program
+    PER COMPONENT instead of one for the whole machine — the fused
+    graph's live temp set exceeds HBM at 2^22 (XLA reported 16.6 GB);
+    per-component programs bound it to one component's working set.
+    Same outputs; one claimed-sum transfer at the end."""
+    outs, claimed_dev = [], []
+    for c, comp in enumerate(components):
+        n = log_sizes[c]
+
+        def rows(role, rc):
+            idxs_plan = [plan.metas[i].ridx for i in plan.by_role[role]
+                         if plan.metas[i].comp == c]
+            if not idxs_plan:
+                return None
+            b_idxs, batch = rc.natural[n]
+            rowmap = {ci: r for r, ci in enumerate(b_idxs)}
+            sel = [rowmap[i] for i in idxs_plan]
+            lo = sel[0]
+            if sel == list(range(lo, lo + len(sel))):
+                return batch[lo: lo + len(sel)]     # contiguous slice
+            return batch[jnp.asarray(np.asarray(sel, np.int64))]
+
+        cols, cs = generate_interaction(
+            comp, rows("main", rc_main), rows("pre", rc_pre),
+            relations, n)
+        empty = isinstance(cols, (list, tuple)) and len(cols) == 0
+        outs.append(None if empty else cols)
+        claimed_dev.append(jnp.zeros(4, jnp.uint32) if empty
+                           else jnp.asarray(cs, jnp.uint32))
+    return outs, jnp.stack(claimed_dev)
+
+
 def _composition_group_buckets(components, infos, plan, log_sizes,
                                relations, claimed_sums, alpha, rcs,
                                subset):
@@ -749,9 +783,16 @@ def prove(components, log_sizes, main_traces, channel,
     # -- relations + tree 2: interaction ---------------------------------
     with scope("interaction"):
         relations = draw_relations(channel, _relation_widths(infos))
-        inter_qm31, claimed_stack = _interactions_fused(
-            components, infos, plan, log_sizes, relations, rc_pre,
-            rc_main)
+        nat_max = max((b.size * 4 for _i, b in
+                       rc_main.natural.values()), default=0)
+        if nat_max > pcs._stream_threshold():
+            inter_qm31, claimed_stack = _interactions_per_component(
+                components, infos, plan, log_sizes, relations, rc_pre,
+                rc_main)
+        else:
+            inter_qm31, claimed_stack = _interactions_fused(
+                components, infos, plan, log_sizes, relations, rc_pre,
+                rc_main)
         inter_qm31 = [([] if cols is None else cols)
                       for cols in inter_qm31]
         # ONE host sync for every component's claimed sum
@@ -1241,12 +1282,14 @@ def _quotients_streamed(rcs, s, role_sizes, S, np_a, pts, blowup,
                 ev = cfft.evaluate(chunk, s)[:, brev]
                 return fold(acc, ev, gcs_c)
 
-            for lo in range(0, C, chunk_cols):
+            for ci, lo in enumerate(range(0, C, chunk_cols)):
                 hi = min(C, lo + chunk_cols)
                 acc = aot_call(("stark.qs_fold_lde", s, S), body, acc,
                                batch[lo:hi],
                                gcs_full[:, off + lo:off + hi],
                                dev_bit_reverse(s))
+                if ci % 4 == 3:
+                    acc.block_until_ready()   # bound in-flight chunks
         off += nrole
     fin = quotients.colsum_finalize(S)
     return aot_call(("stark.qs_final", s, S), fin, acc, pts[0],

@@ -35,7 +35,12 @@ machine_traces = build_machine_traces
 
 def check(src, **kw):
     view, trace = k_trace(asm.assemble(src), **kw)
-    comps, log_sizes, traces = machine_traces(view, trace)
+    # a COMMON cpu log size across the per-instruction tests lets every
+    # test in this process reuse the first one's compiled eval graphs
+    # (shapes are part of the jit cache key) — cuts the file's wall
+    # clock by the per-test XLA compile
+    comps, log_sizes, traces = machine_traces(view, trace,
+                                              min_cpu_log=7)
     assert_constraints(comps, log_sizes, traces)
     return view, trace
 
