@@ -84,6 +84,44 @@ def n_terms(samples) -> int:
     return sum(len(s.columns) for s in samples)
 
 
+def _gamma_powers(gamma, k0: int, k: int) -> np.ndarray:
+    """(k, 4) uint64: gamma^(k0), gamma^(k0+1), ..., gamma^(k0+k-1) —
+    log-doubling construction (vectorized; the per-term scalar loop
+    dominated the verifier's host profile)."""
+    gamma = np.asarray(gamma, np.uint64)
+    p = np.zeros((max(1, k), 4), np.uint64)
+    p[0] = np_qm31(np.uint64(1))
+    step = 1
+    while step < k:
+        m = min(step, k - step)
+        gs = np_qm31_pow(gamma, step)
+        p[step:step + m] = np_qm31_mul(p[:m], gs[None, :])
+        step *= 2
+    if k0:
+        p = np_qm31_mul(p, np_qm31_pow(gamma, k0)[None, :])
+    return p[:k]
+
+
+def _sample_coeffs(sample: "PointSample", g: np.ndarray):
+    """Vectorized per-sample constants: gcs (K, 4), A (4,), B (4,)
+    with g = the (K, 4) gamma powers of this sample's terms.  Value-
+    identical to the scalar per-term loop."""
+    z_y = np.asarray(sample.point[1], np.uint64)
+    V = (np.stack([np.asarray(v, np.uint64) for v in sample.values])
+         if sample.values else np.zeros((0, 4), np.uint64))
+    c = np_qm31_sub(np_qm31_conj(z_y), z_y)            # same every term
+    a = np_qm31_sub(np_qm31_conj(V), V)                # (K, 4)
+    b = np_qm31_sub(np_qm31_mul(V, c[None, :]),
+                    np_qm31_mul(a, z_y[None, :]))
+    gcs = np_qm31_mul(g, c[None, :])
+    ga = np_qm31_mul(g, a)
+    gb = np_qm31_mul(g, b)
+    # coordinate-wise exact u64 sums of < 2^31 values, then fold
+    A = ga.sum(axis=0) % np.uint64(P)
+    B = gb.sum(axis=0) % np.uint64(P)
+    return gcs, A, B
+
+
 def _accumulate_raw(n_samples: int):
     """Build the fused per-size accumulation kernel: the whole sample
     loop (denominator line, batched QM31 inverse, weighted column fold)
@@ -225,7 +263,7 @@ def prep_args(samples, gamma, gamma_offset: int = 0) -> dict:
     gcs = np.zeros((S, k_max, 4), np.uint32)   # zero pad: no-op terms
     idx = np.zeros((S, k_max), np.int32)
 
-    g = np_qm31_pow(gamma, gamma_offset)     # then g *= gamma per term
+    k0 = gamma_offset
     for si, s in enumerate(samples):
         z_x, z_y = s.point
         dx, dy = _denominator_coeffs(z_x, z_y)
@@ -233,15 +271,12 @@ def prep_args(samples, gamma, gamma_offset: int = 0) -> dict:
         zy[si] = np.asarray(z_y, np.uint64).astype(np.uint32)
         dxs[si] = dx.astype(np.uint32)
         dys[si] = dy.astype(np.uint32)
-        A = np.zeros(4, np.uint64)
-        B = np.zeros(4, np.uint64)
-        for j, (ci, v) in enumerate(zip(s.columns, s.values)):
-            a, b, c = line_coeffs(z_y, v)
-            gcs[si, j] = np_qm31_mul(g, c).astype(np.uint32)
-            idx[si, j] = ci
-            A = np_qm31_add(A, np_qm31_mul(g, a))
-            B = np_qm31_add(B, np_qm31_mul(g, b))
-            g = np_qm31_mul(g, gamma)
+        K = len(s.columns)
+        g = _gamma_powers(gamma, k0, K)
+        k0 += K
+        gc, A, B = _sample_coeffs(s, g)
+        gcs[si, :K] = gc.astype(np.uint32)
+        idx[si, :K] = np.asarray(s.columns, np.int32)
         As[si] = A.astype(np.uint32)
         Bs[si] = B.astype(np.uint32)
     return {"zx": zx, "zy": zy, "dx": dxs, "dy": dys, "A": As,
@@ -285,20 +320,15 @@ class QuotientsAt:
         self.ys = np.asarray(ys, np.uint64)
         gamma = np.asarray(gamma, np.uint64)
         self.pre = []
-        g = np_qm31_pow(gamma, gamma_offset)  # then g *= gamma per term
+        k0 = gamma_offset
         for s in samples:
             z_x = np.asarray(s.point[0], np.uint64)
             z_y = np.asarray(s.point[1], np.uint64)
             dx, dy = _denominator_coeffs(z_x, z_y)
-            A = np.zeros(4, np.uint64)
-            B = np.zeros(4, np.uint64)
-            gcs = np.zeros((len(s.columns), 4), np.uint64)
-            for j, (ci, v) in enumerate(zip(s.columns, s.values)):
-                a, b, c = line_coeffs(z_y, v)
-                gcs[j] = np_qm31_mul(g, c)
-                A = np_qm31_add(A, np_qm31_mul(g, a))
-                B = np_qm31_add(B, np_qm31_mul(g, b))
-                g = np_qm31_mul(g, gamma)
+            K = len(s.columns)
+            g = _gamma_powers(gamma, k0, K)
+            k0 += K
+            gcs, A, B = _sample_coeffs(s, g)
             self.pre.append((z_x, z_y, dx, dy,
                              list(s.columns), gcs, A, B))
 
