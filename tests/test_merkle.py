@@ -127,3 +127,48 @@ def test_ship_packed_roundtrip():
     assert np.array_equal(
         np.asarray(_ship_packed(np.zeros((2, 16), np.uint32))),
         np.zeros((2, 16)))
+
+
+def test_stream_commit_matches_commit_matrix():
+    """Column-streamed commit (Blake2s leaf state carried across
+    column chunks, incl. a ragged final block) produces the identical
+    tree to `commit_matrix` — multi-chunk path (C > chunk_cols)."""
+    import jax.numpy as jnp
+    from nexus_zkvm_tpu.ops import cfft
+    from nexus_zkvm_tpu.ops.circle import bit_reverse_indices
+    from nexus_zkvm_tpu.prover.pcs import _stream_commit
+    rng = np.random.default_rng(5)
+    n, s = 7, 8
+    for C in (100, 64, 17):          # ragged, exact, sub-chunk
+        coeffs = rng.integers(0, P, size=(C, 1 << n), dtype=np.uint32)
+        batch = jnp.asarray(coeffs)
+        ev = np.asarray(cfft.evaluate(batch, s))[
+            :, bit_reverse_indices(s)]
+        want = merkle.commit_matrix(jnp.asarray(ev))
+        got = _stream_commit(batch, n, s, chunk_cols=64)
+        assert np.array_equal(np.asarray(got.root()),
+                              np.asarray(want.root())), C
+        for d in range(s + 1):
+            assert np.array_equal(np.asarray(got.layers[d]),
+                                  np.asarray(want.layers[d])), (C, d)
+
+
+def test_opened_values_streamed_matches_evals():
+    """Recompute-from-coefficients opening values equal the resident
+    eval matrix at the opened positions (multi-chunk)."""
+    import jax.numpy as jnp
+    from nexus_zkvm_tpu.ops import cfft
+    from nexus_zkvm_tpu.ops.circle import bit_reverse_indices
+    from nexus_zkvm_tpu.prover import pcs
+    rng = np.random.default_rng(6)
+    n, blowup = 7, 1
+    s = n + blowup
+    C = 70
+    cols = [rng.integers(0, P, size=1 << n, dtype=np.uint32)
+            for _ in range(C)]
+    rc = pcs.commit_columns("t", cols, [n] * C, blowup)
+    positions = sorted({int(p) for p in rng.integers(0, 1 << s, 9)})
+    got = np.asarray(pcs.opened_values_streamed(rc, s, positions,
+                                                chunk_cols=32))
+    want = np.asarray(rc.evals[s])[:, positions]
+    assert np.array_equal(got, want)
