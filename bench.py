@@ -64,9 +64,9 @@ def build_keccak_workload(log_size: int):
     src = open(os.path.join(here, "examples", "guests",
                             "keccak.s")).read()
     g = Guest.from_asm(src)
-    # input layout of keccak.s: word[1] = permutation count
+    # keccak.s reads the first input word as the permutation count
     return k_trace(g.program_words, entry=g.entry,
-                   public_input=encode_u32s(0, n_perm),
+                   public_input=encode_u32s(n_perm),
                    backend="python")
 
 
@@ -103,6 +103,9 @@ def run_one(args, prove_machine, verify_machine, builder, log_size):
         "n_rows": int(n_rows),
         "log_size": log_size,
         "rows_per_sec": round(n_rows / t_prove, 1),
+        # emulation+trace-gen throughput, recorded separately like the
+        # reference harness (benchmarks/src/models.rs:8-56)
+        "tracegen_steps_per_sec": round(n_rows / max(t_trace, 1e-9), 1),
         "t_trace_s": round(t_trace, 3),
         "t_prove_s": round(t_prove, 3),
         "t_verify_s": round(t_verify, 3),
