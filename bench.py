@@ -78,8 +78,12 @@ def run_one(args, prove_machine, verify_machine, builder, log_size):
     t_trace = time.perf_counter() - t0
     n_rows = trace.n_steps
 
-    # warm-up run compiles every kernel (cached for the timed run)
-    proof = prove_machine(view, trace)
+    # warm-up run compiles every kernel (cached for the timed run);
+    # skipped at huge sizes (--warmup-below) where a second full prove
+    # would dominate wall clock — the persistent program store makes
+    # the single timed run near-warm anyway
+    if log_size < args.warmup_below:
+        prove_machine(view, trace)
     t0 = time.perf_counter()
     with profiled() as prof:
         proof = prove_machine(view, trace)
@@ -128,6 +132,8 @@ def main():
                     help="skip the verification timing")
     ap.add_argument("--machine2", action="store_true",
                     help="use the per-instruction-family machine2 prover")
+    ap.add_argument("--warmup-below", type=int, default=21,
+                    help="skip the warm-up prove at log sizes >= this")
     ap.add_argument("--segment-log", type=int, default=None,
                     help="split execution into 2^N-step segments (v1)")
     ap.add_argument("--stream", action="store_true",

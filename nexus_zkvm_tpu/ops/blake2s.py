@@ -81,8 +81,18 @@ def batch_compress(h, m, t: int, last: bool):
     shape = h.shape[:-1]
     v = [h[..., i] for i in range(8)] + \
         [jnp.broadcast_to(jnp.uint32(_IV[i]), shape) for i in range(8)]
-    v[12] = v[12] ^ jnp.uint32(t & 0xFFFFFFFF)
-    v[13] = v[13] ^ jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    if isinstance(t, (int, np.integer)):
+        t_lo = jnp.uint32(t & 0xFFFFFFFF)
+        t_hi = jnp.uint32((t >> 32) & 0xFFFFFFFF)
+    else:
+        # traced byte counter: lets chunk-streamed commit programs be
+        # shared across chunk offsets (one compile instead of one per
+        # `done` value — see pcs._stream_commit)
+        t64 = jnp.asarray(t, jnp.uint64)
+        t_lo = (t64 & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        t_hi = (t64 >> jnp.uint64(32)).astype(jnp.uint32)
+    v[12] = v[12] ^ t_lo
+    v[13] = v[13] ^ t_hi
     if last:
         v[14] = v[14] ^ jnp.uint32(0xFFFFFFFF)
 

@@ -164,27 +164,37 @@ def _donated_set_rows(buf, chunk, lo: int):
     return f(buf, chunk)
 
 
-def _interpolate_big(dev, n: int, chunk_rows: int = 32):
+def _interpolate_big(dev, n: int, chunk_rows: int = 32,
+                     in_place: bool = False):
     """Column-chunked interpolation into a donated coefficient buffer:
     peak extra memory is one chunk's working set instead of a second
-    full-size matrix."""
+    full-size matrix.
+
+    `in_place=True` reuses `dev`'s own buffer as the output (each
+    chunk reads rows not yet overwritten, then writes them back via a
+    donated update), so the natural-order matrix and the coefficient
+    matrix never coexist — the caller must not use `dev` afterwards.
+    Used when the commitment does not keep natural-order values
+    (interaction trees at 2^22+, where a second full-size buffer is
+    the difference between fitting in HBM and OOM)."""
     from ..ops import cfft as _cfft
     from ..utils.progstore import aot_call
     C = int(dev.shape[0])
-    cf = jnp.zeros((C, 1 << n), jnp.uint32)
+    buf = dev if in_place else jnp.zeros((C, 1 << n), jnp.uint32)
 
     def body(x, idx):
         return _cfft.interpolate(x[:, idx])
 
     for ci, lo in enumerate(range(0, C, chunk_rows)):
+        src = buf if in_place else dev
         cc = aot_call(("pcs.interp_chunk", n), body,
-                      dev[lo: lo + chunk_rows], dev_layout_to_natural(n))
-        cf = _donated_set_rows(cf, cc, lo)
-        if ci % 4 == 3:
+                      src[lo: lo + chunk_rows], dev_layout_to_natural(n))
+        buf = _donated_set_rows(buf, cc, lo)
+        if ci % 4 == 3 or in_place:
             # bound the in-flight working set: async dispatch would
             # otherwise keep every pending chunk's buffers live at once
-            cf.block_until_ready()
-    return cf
+            buf.block_until_ready()
+    return buf
 
 
 def _stream_threshold() -> int:
@@ -196,15 +206,30 @@ def _stream_threshold() -> int:
                               str(2 << 30)))
 
 
-def _stream_commit(batch, n: int, s: int, chunk_cols: int = 64):
+def _stream_chunk_cols(s: int) -> int:
+    """Column-chunk width for streamed (recompute-from-coefficients)
+    passes: sized so one chunk's LDE working set stays ~0.5 GB at any
+    s — at 2^23 rows a 64-col chunk peaks at ~5 GB inside the program,
+    which is what OOMed the first 2^22 run.  Multiples of 16 keep the
+    streamed Blake2s digests chunk-size invariant."""
+    import os
+    budget = int(os.environ.get("NZT_STREAM_CHUNK_BYTES",
+                                str(1 << 28)))
+    return max(16, min(64, (budget // (4 << s)) & ~15))
+
+
+def _stream_commit(batch, n: int, s: int, chunk_cols: int = 0):
     """Column-streamed LDE + Merkle commit: leaf digests are built by
     carrying the Blake2s state across column chunks (each chunk = a
     whole number of 16-word message blocks), so the (C, 2^s) eval
     matrix never exists at once.  Root/digest-identical to
     `merkle.commit_matrix(evaluate(batch)[:, brev])`."""
     import functools
+    import os
     from ..utils.progstore import aot_call
     from ..ops.blake2s import batch_compress, initial_state
+    if not chunk_cols:
+        chunk_cols = _stream_chunk_cols(s)
     assert chunk_cols % 16 == 0
     C = int(batch.shape[0])
     M = 1 << s
@@ -229,25 +254,30 @@ def _stream_commit(batch, n: int, s: int, chunk_cols: int = 64):
         c = min(chunk_cols, C - done)
         last = done + c == C
 
-        def body0(chunk, brev, _c=c, _done=done, _last=last):
+        def body0(chunk, brev, _c=c, _last=last):
             ev = cfft.evaluate(chunk, s)[:, brev]
             st = jnp.broadcast_to(jnp.asarray(initial_state()), (M, 8))
-            return run_blocks(st, ev.T, _c, _done, _last)
+            return run_blocks(st, ev.T, _c, 0, _last)
 
-        def bodyn(st, chunk, brev, _c=c, _done=done, _last=last):
+        def bodyn(st, chunk, brev, dd, _c=c, _last=last):
             ev = cfft.evaluate(chunk, s)[:, brev]
-            return run_blocks(st, ev.T, _c, _done, _last)
+            return run_blocks(st, ev.T, _c, dd, _last)
 
         chunk = batch[done: done + c]
         brev = dev_bit_reverse(s)
         if state is None:
-            state = aot_call(("pcs.stream_leaf0", s, c, done, last, C),
+            state = aot_call(("pcs.stream_leaf0", s, c, last, C),
                              body0, chunk, brev)
         else:
-            state = aot_call(("pcs.stream_leaf", s, c, done, last, C),
-                             bodyn, state, chunk, brev)
+            # the byte counter rides in as a traced scalar so every
+            # middle chunk shares ONE stored program (the final chunk
+            # bakes nbytes_msg, hence its own key)
+            key = (("pcs.stream_leafF", s, c, C) if last
+                   else ("pcs.stream_leaf", s, c))
+            state = aot_call(key, bodyn, state, chunk, brev,
+                             np.uint64(done))
         done += c
-        if (done // chunk_cols) % 4 == 0:
+        if s >= 22 or (done // chunk_cols) % 4 == 0:
             state.block_until_ready()      # bound in-flight LDE chunks
 
     # climb from the leaf digests (fused blocks, as commit_matrix)
@@ -297,11 +327,13 @@ def _commit_groups(role, trace_logs, coeff_batches, log_blowup):
 
 
 def opened_values_streamed(rc: "RoleCommitment", s: int, positions,
-                           chunk_cols: int = 64):
+                           chunk_cols: int = 0):
     """(C, Q) opened values of a STREAMED tree, recomputed from the
     coefficient batch by column-chunked LDE + position gather."""
     from ..utils.progstore import aot_call
     from ..utils.devcache import dev_const
+    if not chunk_cols:
+        chunk_cols = _stream_chunk_cols(s)
     n = s - rc.log_blowup
     _idxs, batch = rc.coeff_batches[n]
     pos = np.asarray(sorted(set(int(p) for p in positions)), np.int64)
@@ -315,8 +347,11 @@ def opened_values_streamed(rc: "RoleCommitment", s: int, positions,
     C = int(batch.shape[0])
     outs = []
     for lo in range(0, C, chunk_cols):
-        outs.append(aot_call(("pcs.stream_open", s, len(pos)), body,
-                             batch[lo: lo + chunk_cols], idx))
+        out = aot_call(("pcs.stream_open", s, len(pos)), body,
+                       batch[lo: lo + chunk_cols], idx)
+        if s >= 22:
+            out.block_until_ready()   # bound in-flight LDE chunks
+        outs.append(out)
     return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
 
 
@@ -513,7 +548,12 @@ def commit_blocks(role: str, blocks, block_logs, log_blowup: int,
         if keep_natural:
             natural[n] = (idxs_by_n[n], dev)
         if big:
-            cf = _interpolate_big(dev, n)
+            # without keep_natural the natural matrix is dead after
+            # interpolation — reuse its buffer (halves the peak)
+            cf = _interpolate_big(dev, n,
+                                  in_place=not keep_natural)
+            if not keep_natural:
+                dev = None
         else:
             cf = cfft.interpolate(dev[:, dev_layout_to_natural(n)])
         coeff_batches[n] = (idxs_by_n[n], cf)

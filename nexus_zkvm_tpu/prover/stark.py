@@ -565,7 +565,7 @@ def _composition_big_one(c, components, infos, plan, log_sizes,
     n_rows_tot = (len(main_ridxs) + len(pre_ridxs) + len(inter_ridxs)
                   + 1)
     budget = int(os.environ.get("NZT_COMP_NAT_BUDGET",
-                                str(8 << 30)))
+                                str(4 << 30)))
     n_passes = 1
     while n_rows_tot * ((1 << ev) // n_passes) * 4 > budget and \
             n_passes < (1 << ev) >> 10:
@@ -1255,7 +1255,7 @@ def _selftest_per_constraint(comp, info, plan, log_sizes, c, relations,
 # ---------------------------------------------------------------------------
 
 def _quotients_streamed(rcs, s, role_sizes, S, np_a, pts, blowup,
-                        chunk_cols: int = 64):
+                        chunk_cols: int = 0):
     """Quotient accumulation for a size group with streamed commits:
     per-sample column sums are accumulated role by role — kept roles
     in one fold, streamed roles by chunked LDE-from-coefficients —
@@ -1263,6 +1263,8 @@ def _quotients_streamed(rcs, s, role_sizes, S, np_a, pts, blowup,
     identical to `quotients._accumulate_blocks`."""
     from ..utils.progstore import aot_call
     from ..ops.circle import dev_bit_reverse
+    if not chunk_cols:
+        chunk_cols = pcs._stream_chunk_cols(s)
     M = 1 << s
     acc = jnp.zeros((S, M, 4), jnp.uint32)
     gcs_full = np_a["gcs_full"]                    # (S, K, 4)
@@ -1288,7 +1290,7 @@ def _quotients_streamed(rcs, s, role_sizes, S, np_a, pts, blowup,
                                batch[lo:hi],
                                gcs_full[:, off + lo:off + hi],
                                dev_bit_reverse(s))
-                if ci % 4 == 3:
+                if s >= 22 or ci % 4 == 3:
                     acc.block_until_ready()   # bound in-flight chunks
         off += nrole
     fin = quotients.colsum_finalize(S)
